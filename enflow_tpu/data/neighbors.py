@@ -1,0 +1,131 @@
+"""Static-shape neighbor lists for periodic molecular systems.
+
+TPU-native replacement for the reference's dynamic 27-periodic-image edge list
+(reference ``enflow/data/base.py:122-144`` + ``enflow/utils/helpers.py:15-29``),
+which materializes a dense ``[~27N, N]`` distance matrix per molecule and emits a
+data-dependent number of edges — impossible under ``jit`` and hostile to XLA.
+
+Design here:
+- Displacements use the **minimum-image convention** directly (no image
+  replication): for ``box >= 2*r_cut`` this yields exactly the reference's edge
+  set. (The reference additionally wraps its edge displacements by *half* the
+  box, ``base.py:17`` — a bug we do not reproduce; see
+  ``utils.helpers.min_image``.)
+- Two static-shape formats:
+  1. **Dense all-pairs** (``K == N``): a ``[B, N, N]`` boolean adjacency — best
+     for small molecules (training batches), where the mask costs nothing and
+     every reduction is a dense masked sum the MXU/VPU love.
+  2. **Fixed-capacity top-K** (``K < N``): per-atom padded neighbor arrays
+     ``idx/mask [B, N, K]`` selected by ``lax.top_k`` on negative squared
+     distance — for large systems (e.g. the 2,944-atom LJ generate config,
+     reference ``example/generate.yaml:8``), where ``K ~ O(neighbors within
+     r_cut)`` bounds memory at ``O(N*K)``.
+
+Both formats present the same ``Neighbors(idx, mask)`` interface consumed by the
+EGCL (``enflow_tpu/nn/egcl.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.helpers import min_image
+
+
+class Neighbors(NamedTuple):
+    """Fixed-capacity neighbor structure.
+
+    idx:  ``[B, N, K]`` int32 — neighbor atom indices (within the molecule).
+    mask: ``[B, N, K]`` bool — True for valid (real, within-cutoff) neighbors.
+    """
+
+    idx: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.idx.shape[-1]
+
+
+def _pair_dist_sq(pos, box):
+    """``[N, N]`` min-image squared distances and ``[N, N, 3]`` displacements."""
+    diff = pos[:, None, :] - pos[None, :, :]
+    diff = min_image(diff, box)
+    return (diff * diff).sum(-1), diff
+
+
+def _valid_pairs(pos, box, mask, r_cut):
+    """``[N, N]`` bool: j is a neighbor of i (i real, j real, i != j, within cutoff)."""
+    n = pos.shape[0]
+    d2, _ = _pair_dist_sq(pos, box)
+    eye = jnp.eye(n, dtype=bool)
+    return (
+        mask[:, None]
+        & mask[None, :]
+        & ~eye
+        & (d2 < r_cut * r_cut)
+    ), d2
+
+
+def _neighbors_one_dense(pos, box, mask, r_cut):
+    n = pos.shape[0]
+    valid, _ = _valid_pairs(pos, box, mask, r_cut)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    return idx, valid
+
+
+def _neighbors_one_topk(pos, box, mask, r_cut, capacity):
+    valid, d2 = _valid_pairs(pos, box, mask, r_cut)
+    score = jnp.where(valid, -d2, -jnp.inf)
+    top, idx = jax.lax.top_k(score, capacity)
+    return idx.astype(jnp.int32), top > -jnp.inf
+
+
+def neighbor_list(pos, box, mask, r_cut, capacity: int | None = None) -> Neighbors:
+    """Build a static-shape neighbor list for a batch of molecules.
+
+    Args:
+      pos:   ``[B, N, 3]`` positions.
+      box:   ``[B, 3]`` box lengths.
+      mask:  ``[B, N]`` real-atom mask.
+      r_cut: ``[B]`` per-molecule cutoffs.
+      capacity: max neighbors per atom (static). ``None`` or ``>= N`` selects
+        the dense all-pairs format.
+
+    Returns:
+      ``Neighbors`` with ``idx``/``mask`` of shape ``[B, N, K]``.
+    """
+    n = pos.shape[1]
+    if capacity is None or capacity >= n:
+        idx, m = jax.vmap(_neighbors_one_dense)(pos, box, mask, r_cut)
+    else:
+        idx, m = jax.vmap(_neighbors_one_topk, in_axes=(0, 0, 0, 0, None))(
+            pos, box, mask, r_cut, capacity
+        )
+    return Neighbors(idx=idx, mask=m)
+
+
+def neighbor_overflow(pos, box, mask, r_cut, capacity: int):
+    """Diagnostic: True if any atom has more than ``capacity`` in-cutoff neighbors.
+
+    The fixed-capacity format silently truncates beyond ``capacity``; call this
+    (e.g. under a debug flag / checkify) to validate a chosen capacity.
+    """
+    valid, _ = jax.vmap(_valid_pairs)(pos, box, mask, r_cut)
+    return (valid.sum(axis=-1) > capacity).any()
+
+
+def coord_diffs(pos, box, nbrs: Neighbors):
+    """Min-image displacement vectors for each (atom, neighbor-slot) pair.
+
+    Returns ``[B, N, K, 3]`` with ``diff[b,i,k] = pos[b,i] - pos[b, idx[b,i,k]]``
+    (reference edge convention: ``coord[row] - coord[col]``, ``base.py:16``),
+    zeroed on invalid slots.
+    """
+    nbr_pos = jax.vmap(lambda p, i: p[i])(pos, nbrs.idx)  # [B, N, K, 3]
+    diff = pos[:, :, None, :] - nbr_pos
+    diff = min_image(diff, box[:, None, None, :])
+    return jnp.where(nbrs.mask[..., None], diff, 0.0)
