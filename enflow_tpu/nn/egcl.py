@@ -1,0 +1,126 @@
+"""E(n)-equivariant graph convolutional layer (EGCL), dense/TPU-native.
+
+Semantic parity with reference ``enflow/nn/egcl.py:5-93`` (itself adapted from
+Satorras et al.'s E(n)-GNN), returning per flow step:
+
+- ``Q`` ``[B, N, 1]``  — log velocity scale, ``vel_scaling_nn(h)`` (egcl.py:52-55,91)
+- ``F`` ``[B, N, 3]``  — equivariant force, scatter-mean of gated coordinate
+  differences (egcl.py:32-43,71-75)
+- ``G`` ``[B, N, nf]`` — node feature update, scatter-sum message aggregation
+  (egcl.py:27-30,65-69)
+
+TPU-first redesign: instead of a ragged edge list with ``scatter_add`` (the
+reference's ``unsorted_segment_sum``, helpers.py:54-70), messages live in a
+dense fixed-capacity tensor ``[B, N, K, hidden]`` indexed by the static-shape
+neighbor list; aggregation is a masked reduction over the K axis — a fused,
+layout-friendly pattern XLA maps straight onto the MXU/VPU with no scatters.
+
+Optional flags mirror the reference (all default off, egcl.py:11): ``attention``
+(sigmoid edge gating, :46-49,60-62), ``norm_diff`` (normalize coordinate
+differences, :82-84), ``tanh`` (bounded coordinate gate with learned range,
+:40-42), ``clamp`` semantics (the ±100 force clamp, :73) are always applied as
+in the reference default path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .mlp import init_linear, apply_linear, init_mlp, apply_mlp, silu
+
+
+@dataclasses.dataclass(frozen=True)
+class EGCLConfig:
+    node_nf: int
+    hidden_nf: int
+    coords_weight: float = 1.0
+    attention: bool = False
+    norm_diff: bool = False
+    tanh: bool = False
+
+    @property
+    def edge_in(self) -> int:
+        return 2 * self.node_nf + 1  # [h_i, h_j, |dx|^2] (reference egcl.py:13,18)
+
+
+def init_egcl(key, cfg: EGCLConfig, dtype=jnp.float32):
+    """Initialize one EGCL's parameters as a pytree."""
+    keys = jax.random.split(key, 6)
+    params = {
+        # edge_nn: Linear, SiLU, Linear, SiLU (reference egcl.py:21-25)
+        "edge_nn": init_mlp(keys[0], [cfg.edge_in, cfg.hidden_nf, cfg.hidden_nf], dtype),
+        # node_nn: Linear, SiLU, Linear (reference egcl.py:27-30)
+        "node_nn": init_mlp(keys[1], [cfg.hidden_nf + cfg.node_nf, cfg.hidden_nf,
+                                      cfg.node_nf], dtype),
+        # coord_nn: Linear, SiLU, Linear(hidden->1, no bias, xavier gain 1e-3)
+        # (reference egcl.py:32-43)
+        "coord_nn": [
+            init_linear(keys[2], cfg.hidden_nf, cfg.hidden_nf, dtype),
+            init_linear(keys[3], cfg.hidden_nf, 1, dtype, bias=False,
+                        init="xavier_uniform", gain=0.001),
+        ],
+        # vel_scaling_nn: Linear, SiLU, Linear (reference egcl.py:52-55)
+        "vel_scaling_nn": init_mlp(keys[4], [cfg.node_nf, cfg.hidden_nf, 1], dtype),
+    }
+    if cfg.attention:
+        params["att_nn"] = init_linear(keys[5], cfg.hidden_nf, 1, dtype)
+    if cfg.tanh:
+        params["coords_range"] = 3.0 * jnp.ones((1,), dtype)
+    return params
+
+
+def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
+               atom_mask):
+    """Apply one EGCL.
+
+    Args:
+      h:          ``[B, N, nf]`` node features.
+      coord_diff: ``[B, N, K, 3]`` min-image displacements ``pos_i - pos_j``
+                  (zeroed on invalid slots).
+      nbr_idx:    ``[B, N, K]`` neighbor indices.
+      nbr_mask:   ``[B, N, K]`` valid-neighbor mask.
+      atom_mask:  ``[B, N]`` real-atom mask.
+
+    Returns:
+      ``(Q [B,N,1], F [B,N,3], G [B,N,nf])``, all zeroed on padded atoms.
+    """
+    am = atom_mask[..., None]
+    radial = (coord_diff * coord_diff).sum(-1, keepdims=True)  # [B,N,K,1]
+
+    if cfg.norm_diff:
+        coord_diff = coord_diff / (jnp.sqrt(radial) + 1.0)
+
+    # -- edge model (reference egcl.py:57-63) ------------------------------
+    h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)          # [B,N,K,nf]
+    h_i = jnp.broadcast_to(h[:, :, None, :], h_j.shape)
+    edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
+    m = apply_mlp(params["edge_nn"], edge_in, final_act=silu)   # [B,N,K,hidden]
+    if cfg.attention:
+        m = m * jax.nn.sigmoid(apply_linear(params["att_nn"], m))
+    m = jnp.where(nbr_mask[..., None], m, 0.0)
+
+    # -- node model: masked scatter-sum == dense sum over K (egcl.py:65-69) -
+    agg = m.sum(axis=2)                                         # [B,N,hidden]
+    G = apply_mlp(params["node_nn"], jnp.concatenate([h, agg], axis=-1))
+    G = jnp.where(am, G, 0.0)
+
+    # -- force model: gated displacements, masked mean (egcl.py:71-75) -----
+    gate = apply_linear(params["coord_nn"][1],
+                        silu(apply_linear(params["coord_nn"][0], m)))
+    if cfg.tanh:
+        gate = jnp.tanh(gate) * params["coords_range"]
+    trans = coord_diff * gate                                   # [B,N,K,3]
+    trans = jnp.clip(trans, -100.0, 100.0)  # reference egcl.py:73 safety clamp
+    trans = jnp.where(nbr_mask[..., None], trans, 0.0)
+    count = jnp.clip(nbr_mask.sum(axis=2, keepdims=True), 1, None)
+    F = trans.sum(axis=2) / count.astype(trans.dtype)           # [B,N,3]
+    F = jnp.where(am, F * cfg.coords_weight, 0.0)
+
+    # -- velocity log-scale (egcl.py:91) -----------------------------------
+    Q = apply_mlp(params["vel_scaling_nn"], h)                  # [B,N,1]
+    Q = jnp.where(am, Q, 0.0)
+
+    return Q, F, G

@@ -2,18 +2,20 @@
 (pjit/shard_map) code paths are exercised without TPU hardware, and enable
 float64 so invertibility oracles can be checked at tight tolerance.
 
-Must run before any ``jax`` import in test modules.
+NOTE: the ambient environment preloads JAX via ``/root/.axon_site/
+sitecustomize.py`` (axon TPU tunnel) before pytest starts, so env vars set here
+are too late for ``jax.config``'s import-time capture. ``jax.config.update``
+after import still works because no backend has been instantiated yet —
+``XLA_FLAGS`` is also still unread at that point.
 """
 
 import os
 
-# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (TPU tunnel),
-# which would funnel every tiny test compile through remote compilation.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
