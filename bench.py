@@ -1,0 +1,142 @@
+"""Benchmark: LJ13 flow-proposal SMC throughput on one chip.
+
+The driver's north-star metric (BASELINE.json): samples/s/chip and ESS/s on
+LJ13 flow-SMC. The reference publishes no numbers (SURVEY §6), so
+``vs_baseline`` is the speedup of this chip over the same XLA program on the
+host CPU (per-particle throughput ratio) — an honest, reproducible baseline.
+
+Pipeline (all jitted, f32):
+  z ~ N(0,I) over (h, g, pos, vel)  ->  x = flow.reverse_core(z)
+  SMC: temper from the flow-pushforward q0 to the LJ13 cluster Boltzmann
+  target with systematic resampling + HMC rejuvenation (gradients through
+  the full EGCL flow every leapfrog step — the hot path).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_ATOMS = 13
+NODE_NF = 5
+HIDDEN = 128
+FLOW_STEPS = 5
+P_TPU = 1024
+P_CPU = 64
+N_TEMPS = 8
+MCMC_STEPS = 1
+N_LEAPFROG = 5
+KBT = 2.0
+
+
+def build(dtype=jnp.float32):
+    from enflow_tpu.flow import FlowConfig, init_flow, forward_core, reverse_core
+    from enflow_tpu.nn.egcl import EGCLConfig
+    from enflow_tpu.data.system import System
+    from enflow_tpu.sample import smc, targets
+
+    cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
+                     egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN))
+    params = init_flow(jax.random.PRNGKey(0), cfg, dtype)
+
+    box = jnp.full((1, 3), 1e3, dtype)       # cluster: effectively no PBC
+    r_cut = jnp.full((1,), 1e2, dtype)
+    mask = jnp.ones((1, N_ATOMS), bool)
+
+    def to_system(x):
+        return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                      vel=x["vel"][None], mask=mask, box=box, r_cut=r_cut)
+
+    def gauss(sys_b):
+        tot = 0.0
+        for f in (sys_b.h, sys_b.g, sys_b.vel):
+            tot = tot + (f * f).sum()
+        return -0.5 * tot
+
+    cluster = targets.lj_cluster(N_ATOMS, kBT=KBT)
+
+    def log_q0(x):
+        # flow-pushforward density: base(f(x)) + ldj_f(x)
+        out, ldj = forward_core(params, cfg, to_system(x))
+        return gauss(out) - 0.5 * (out.pos ** 2).sum() + ldj[0]
+
+    def log_p(x):
+        return cluster.log_prob(x["pos"]) + gauss(to_system(x))
+
+    def propose(key, P):
+        ks = jax.random.split(key, 4)
+        z = {
+            "h": jax.random.normal(ks[0], (P, N_ATOMS, NODE_NF), dtype),
+            "g": jax.random.normal(ks[1], (P, N_ATOMS, NODE_NF), dtype),
+            "pos": jax.random.normal(ks[2], (P, N_ATOMS, 3), dtype),
+            "vel": jax.random.normal(ks[3], (P, N_ATOMS, 3), dtype),
+        }
+
+        def rev_one(zz):
+            sys_b, _ = reverse_core(params, cfg, to_system(zz))
+            return {"h": sys_b.h[0], "g": sys_b.g[0], "pos": sys_b.pos[0],
+                    "vel": sys_b.vel[0]}
+
+        return jax.vmap(rev_one)(z)
+
+    def run(key, P):
+        kp, ks = jax.random.split(key)
+        x0 = propose(kp, P)
+        return smc(ks, x0, log_q0=log_q0, log_p=log_p, n_temps=N_TEMPS,
+                   mcmc_steps=MCMC_STEPS, step_size=0.02,
+                   n_leapfrog=N_LEAPFROG)
+
+    return run
+
+
+def timed_rate(run, P, repeats=3):
+    fn = jax.jit(lambda k: run(k, P))
+    res = fn(jax.random.PRNGKey(1))          # compile + warm
+    jax.block_until_ready(res.particles)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        res = fn(jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(res.particles)
+    dt = (time.perf_counter() - t0) / repeats
+    # ESS at the final temperature *before* its resampling step (post-
+    # resampling weights are trivially uniform)
+    ess = float(res.ess_history[-1])
+    return P / dt, ess / dt, float(res.log_Z), dt
+
+
+def main():
+    run = build()
+    dev = jax.devices()[0]
+    tpu_rate, tpu_ess_rate, logz, dt = timed_rate(run, P_TPU)
+
+    # host-CPU baseline of the same program (per-particle rate)
+    cpu = jax.devices("cpu")
+    if cpu and dev.platform != "cpu":
+        with jax.default_device(cpu[0]):
+            cpu_rate, _, _, _ = timed_rate(build(), P_CPU, repeats=1)
+        vs_baseline = tpu_rate / cpu_rate
+    else:
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "lj13_flow_smc_samples_per_s_per_chip",
+        "value": round(tpu_rate, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "ess_per_s": round(tpu_ess_rate, 2),
+        "log_Z": round(logz, 3),
+        "wall_s_per_smc": round(dt, 3),
+        "particles": P_TPU,
+        "n_temps": N_TEMPS,
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

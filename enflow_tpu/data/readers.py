@@ -1,0 +1,265 @@
+"""Trajectory/structure dataset readers.
+
+Parity targets (reference files) and re-design notes:
+
+- ``SDFDataset``   — reference ``enflow/data/sdf.py:8-35`` (RDKit). Uses the
+  native SDF parser; falls back gracefully since RDKit is unavailable. (The
+  reference's own ``append(h=...)`` call is a latent TypeError, sdf.py:28-35.)
+- ``HDF5Dataset``  — reference ``enflow/data/hdf5.py:9-21`` (h5py, available).
+  The reference references an unset ``self.dist_scale`` (hdf5.py:18, latent
+  AttributeError); here file units are an explicit parameter.
+- ``MDDataset`` / ``LargeMDDataset`` — reference ``enflow/data/md.py:7-41``
+  (MDAnalysis). MDAnalysis is used when importable; otherwise native parsers
+  cover .gro/.pdb/.xyz topologies and .trr trajectories.
+- ``TRRDataset``   — reference ``enflow/data/trr.py:6-35`` (pymolr). Native
+  binary TRR reader; the working unit-scale pattern from trr.py:13-24 is kept
+  (file-native nm/ps converted into the declared units, then the transform
+  pipeline converts to reduced units).
+- ``XYZDataset``   — convenience reader (no reference equivalent).
+
+All readers emit ``Sample``s through ``BaseDataset._get_sample`` (one-hot
+features, g ~ N(0,1), transform pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import formats
+from .datasets import (BaseDataset, InMemoryDataset, register_dataset)
+from ..utils.conversion import _DIST_UNITS, _TIME_UNITS
+from ..utils.helpers import get_element
+
+
+def _dist_scale(file_unit, declared_unit):
+    """Multiplier taking file-native distances to the declared lab unit."""
+    return _DIST_UNITS[file_unit] / _DIST_UNITS[declared_unit]
+
+
+def _vel_scale(file_dist, file_time, declared_dist, declared_time):
+    return (_DIST_UNITS[file_dist] / _DIST_UNITS[declared_dist]) / (
+        _TIME_UNITS[file_time] / _TIME_UNITS[declared_time])
+
+
+def _listify(x):
+    return x if isinstance(x, (list, tuple)) else [x]
+
+
+@register_dataset("sdf")
+class SDFDataset(InMemoryDataset):
+    """MDL SDF reader (reference sdf.py; label = molecule name)."""
+
+    def process(self, raw_file, dist_unit="ang", time_unit="pico",
+                file_dist_unit="ang", **_):
+        scale = _dist_scale(file_dist_unit, dist_unit)
+        for path in _listify(raw_file):
+            for name, symbols, pos in formats.parse_sdf(path):
+                self.append(z=symbols, pos=pos * scale, label=name)
+
+
+@register_dataset("hdf5")
+class HDF5Dataset(InMemoryDataset):
+    """h5py nested-group reader: species + first-frame coordinates + diagonal
+    cell (reference hdf5.py:9-21)."""
+
+    def process(self, raw_file, dist_unit="ang", time_unit="pico",
+                file_dist_unit="ang", **_):
+        import h5py
+        scale = _dist_scale(file_dist_unit, dist_unit)
+        for path in _listify(raw_file):
+            with h5py.File(path, "r") as f:
+                for i in f.keys():
+                    for j in f[i].keys():
+                        dct = f[i][j]
+                        z = [s.decode("utf-8") if isinstance(s, bytes) else str(s)
+                             for s in dct["species"]]
+                        cell = np.asarray(dct["cell"])
+                        box = np.array([cell[0, 0, 0], cell[0, 1, 1],
+                                        cell[0, 2, 2]]) * scale
+                        self.append(
+                            z=z,
+                            pos=np.asarray(dct["coordinates"])[0] * scale,
+                            box=box,
+                            label="hdf5",
+                        )
+
+
+def _mdanalysis_or_none():
+    try:
+        import MDAnalysis  # noqa: F401
+        return MDAnalysis
+    except ImportError:
+        return None
+
+
+@register_dataset("md")
+class MDDataset(InMemoryDataset):
+    """In-memory trajectory reader over (top_file, traj_file) pairs
+    (reference md.py:26-41)."""
+
+    def process(self, top_file, traj_file, dist_unit="ang", time_unit="pico",
+                **_):
+        mda = _mdanalysis_or_none()
+        for top, traj in zip(_listify(top_file), _listify(traj_file)):
+            if mda is not None:
+                u = mda.Universe(top, traj)
+                dscale = _dist_scale("ang", dist_unit)   # MDAnalysis: Angstrom
+                vscale = _vel_scale("ang", "pico", dist_unit, time_unit)
+                for frame, ts in enumerate(u.trajectory):
+                    z = [get_element(getattr(a, "element", ""), a.mass)
+                         for a in u.atoms]
+                    vel = (u.atoms.velocities * vscale
+                           if ts.has_velocities else None)
+                    self.append(z=z, pos=u.atoms.positions * dscale, vel=vel,
+                                label=f"{traj} frame: {frame}")
+            else:
+                self._process_native(top, traj, dist_unit, time_unit)
+
+    def _process_native(self, top, traj, dist_unit, time_unit):
+        names, _, _, _ = _parse_topology(top)
+        z = [_element_from_name(n) for n in names]
+        for frame, (pos, vel) in enumerate(_iter_traj(traj)):
+            file_d, file_t = _traj_units(traj)
+            dscale = _dist_scale(file_d, dist_unit)
+            vscale = _vel_scale(file_d, file_t, dist_unit, time_unit)
+            self.append(z=z, pos=pos * dscale,
+                        vel=None if vel is None else vel * vscale,
+                        label=f"{traj} frame: {frame}")
+
+
+@register_dataset("largemd")
+class LargeMDDataset(BaseDataset):
+    """Lazy per-index trajectory reader (reference md.py:7-23): nothing is
+    materialized; each __getitem__ parses one frame."""
+
+    def __len__(self):
+        traj = self.input_params["traj_file"]
+        return len(_frames_index(traj))
+
+    def __getitem__(self, idx):
+        traj = self.input_params["traj_file"]
+        top = self.input_params.get("top_file")
+        dist_unit = self.input_params.get("dist_unit", "ang")
+        time_unit = self.input_params.get("time_unit", "pico")
+        pos, vel = _frames_index(traj)[idx]
+        file_d, file_t = _traj_units(traj)
+        if top:
+            names, _, _, _ = _parse_topology(top)
+            z = [_element_from_name(n) for n in names]
+        else:
+            z = ["C"] * pos.shape[0]
+        return self._get_sample(
+            z, pos * _dist_scale(file_d, dist_unit),
+            None if vel is None else
+            vel * _vel_scale(file_d, file_t, dist_unit, time_unit),
+            label=f"Frame: {idx}")
+
+
+@register_dataset("trr")
+class TRRDataset(BaseDataset):
+    """Lazy GROMACS TRR reader (reference trr.py:6-35), native binary parser.
+
+    ``top_file`` may be a .gro/.pdb giving atom names (for element guessing);
+    TRR itself carries no topology.
+    """
+
+    def __len__(self):
+        return len(self._frames())
+
+    def _frames(self):
+        if not hasattr(self, "_frame_cache"):
+            self._frame_cache = []
+            for path in _listify(self.input_params["traj_file"]):
+                self._frame_cache += formats.read_trr(path)
+        return self._frame_cache
+
+    def _symbols(self, natoms):
+        top = self.input_params.get("top_file")
+        if top:
+            names, _, _, _ = _parse_topology(top)
+            return [_element_from_name(n) for n in names]
+        return ["Ar"] * natoms
+
+    def __getitem__(self, idx):
+        dist_unit = self.input_params.get("dist_unit", "ang")
+        time_unit = self.input_params.get("time_unit", "pico")
+        fr = self._frames()[idx]
+        pos = fr["pos"]
+        # TRR is nm / ps (the working scale pattern, reference trr.py:13-24)
+        dscale = _dist_scale("nm", dist_unit)
+        vscale = _vel_scale("nm", "pico", dist_unit, time_unit)
+        box = (np.diag(fr["box"]) * dscale) if fr["box"] is not None else None
+        return self._get_sample(
+            self._symbols(pos.shape[0]), pos * dscale,
+            None if fr["vel"] is None else fr["vel"] * vscale,
+            box=box, label=f"Frame: {idx}")
+
+
+@register_dataset("xyz")
+class XYZDataset(InMemoryDataset):
+    """Multi-frame XYZ reader (native extension; Angstrom by convention)."""
+
+    def process(self, raw_file, dist_unit="ang", time_unit="pico",
+                file_dist_unit="ang", **_):
+        scale = _dist_scale(file_dist_unit, dist_unit)
+        for path in _listify(raw_file):
+            for frame, (symbols, pos) in enumerate(formats.parse_xyz(path)):
+                self.append(z=symbols, pos=pos * scale,
+                            label=f"{path} frame: {frame}")
+
+
+# ---------------------------------------------------------------------------
+# native topology/trajectory helpers
+# ---------------------------------------------------------------------------
+
+_ELEMENT_SYMBOLS = {"H", "C", "N", "O", "F", "P", "S", "K", "B", "Cl", "Na",
+                    "Mg", "Ar", "He", "Ne", "Li", "Be", "Al", "Si"}
+
+
+def _element_from_name(name):
+    """Guess an element from an atom name like 'CA', 'HW1', 'OW'."""
+    name = name.strip()
+    if name[:2].capitalize() in _ELEMENT_SYMBOLS and not name[:1].isdigit():
+        two = name[:2].capitalize()
+        if two in ("Cl", "Na", "Mg", "Ar", "He", "Ne", "Li", "Be", "Al", "Si"):
+            return two
+    for ch in name:
+        if ch.isalpha():
+            return ch.upper()
+    raise ValueError(f"cannot guess element from atom name {name!r}")
+
+
+def _parse_topology(path):
+    if path.endswith(".gro"):
+        return formats.parse_gro(path)
+    if path.endswith(".pdb"):
+        symbols, pos, box = formats.parse_pdb(path)[0]
+        return symbols, pos, None, box
+    if path.endswith(".xyz"):
+        symbols, pos = formats.parse_xyz(path)[0]
+        return symbols, pos, None, None
+    raise ValueError(f"unsupported topology format: {path}")
+
+
+def _traj_units(path):
+    """(dist, time) native units of a trajectory file."""
+    if path.endswith((".trr", ".gro")):
+        return "nm", "pico"
+    return "ang", "pico"
+
+
+def _iter_traj(path):
+    if path.endswith(".trr"):
+        return [(fr["pos"], fr["vel"]) for fr in formats.read_trr(path)]
+    if path.endswith(".xyz"):
+        return [(pos, None) for _, pos in formats.parse_xyz(path)]
+    if path.endswith(".pdb"):
+        return [(pos, None) for _, pos, _ in formats.parse_pdb(path)]
+    if path.endswith(".gro"):
+        _, pos, vel, _ = formats.parse_gro(path)
+        return [(pos, vel)]
+    raise ValueError(f"unsupported trajectory format: {path}")
+
+
+def _frames_index(path):
+    return _iter_traj(path)

@@ -128,10 +128,10 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
         g = s.g + G * dt
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
-        return s, cfg.ldj_factor * Q.sum()
+        return s, cfg.ldj_factor * Q.sum(axis=(1, 2))
 
     sys, ldj_steps = jax.lax.scan(step, sys, params["networks"])
-    return sys, ldj_steps.sum()
+    return sys, ldj_steps.sum(axis=0)
 
 
 def _lf_reverse(params, cfg: FlowConfig, sys: System):
@@ -143,10 +143,10 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
         Q, F, G = _egcl_at(params, cfg, net, s)
         g = s.g - G * dt
         vel = (s.vel - F * dt) / jnp.exp(Q)
-        return s.replace(g=g, vel=vel), None
+        return s.replace(g=g, vel=vel), -cfg.ldj_factor * Q.sum(axis=(1, 2))
 
-    sys, _ = jax.lax.scan(step, sys, params["networks"], reverse=True)
-    return sys
+    sys, ldj_steps = jax.lax.scan(step, sys, params["networks"], reverse=True)
+    return sys, ldj_steps.sum(axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +168,7 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         # first half-kick with the carried network evaluation
         vel = jnp.exp(Q / 2) * s.vel + F * dt_2
         g = s.g + G * dt_2
-        ldj = cfg.ldj_factor * 0.5 * Q.sum()
+        ldj = cfg.ldj_factor * 0.5 * Q.sum(axis=(1, 2))
         # drift
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
@@ -176,11 +176,11 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         Q2, F2, G2 = _egcl_at(params, cfg, net, s)
         s = s.replace(vel=jnp.exp(Q2 / 2) * s.vel + F2 * dt_2,
                       g=s.g + G2 * dt_2)
-        ldj = ldj + cfg.ldj_factor * 0.5 * Q2.sum()
+        ldj = ldj + cfg.ldj_factor * 0.5 * Q2.sum(axis=(1, 2))
         return (s, (Q2, F2, G2)), ldj
 
     (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG0), rest)
-    return sys, ldj_steps.sum()
+    return sys, ldj_steps.sum(axis=0)
 
 
 def _vv_reverse(params, cfg: FlowConfig, sys: System):
@@ -201,6 +201,7 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         # undo second half-kick of this step (evaluation carried in)
         s = s.replace(g=s.g - G * dt_2,
                       vel=(s.vel - F * dt_2) / jnp.exp(Q / 2))
+        ldj = -cfg.ldj_factor * 0.5 * Q.sum(axis=(1, 2))
         # undo drift
         s = s.replace(h=s.h - s.g * dt)
         s = s.replace(pos=s.pos - s.vel * dt).pbc()
@@ -208,10 +209,12 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         Q2, F2, G2 = _egcl_at(params, cfg, net, s)
         s = s.replace(g=s.g - G2 * dt_2,
                       vel=(s.vel - F2 * dt_2) / jnp.exp(Q2 / 2))
-        return (s, (Q2, F2, G2)), None
+        ldj = ldj - cfg.ldj_factor * 0.5 * Q2.sum(axis=(1, 2))
+        return (s, (Q2, F2, G2)), ldj
 
-    (sys, _), _ = jax.lax.scan(step, (sys, QFG_last), rest, reverse=True)
-    return sys
+    (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG_last), rest,
+                                       reverse=True)
+    return sys, ldj_steps.sum(axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +222,12 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
 # ---------------------------------------------------------------------------
 
 def forward(params, cfg: FlowConfig, sys: System, key):
-    """Dequantize + integrate forward. Returns ``(system, ldj)`` where ldj
-    includes the dequantizer's ``log_q`` (reference convention,
-    dynamics.py:11)."""
+    """Dequantize + integrate forward.
+
+    Returns ``(system, ldj [B])`` — per-molecule log-det contributions
+    including the dequantizer's per-molecule ``log_q`` (reference convention,
+    dynamics.py:11; the reference keeps one batch scalar, but samplers need
+    per-particle densities — summing recovers the reference value)."""
     h, log_q = _dequant_forward(params, cfg, sys.h, sys.mask, key)
     sys = sys.replace(h=h)
     if cfg.integrator == "lf":
@@ -233,14 +239,36 @@ def forward(params, cfg: FlowConfig, sys: System, key):
     return sys, ldj + log_q
 
 
+def forward_core(params, cfg: FlowConfig, sys: System):
+    """Deterministic integrator transform only (no dequantization).
+
+    Samplers use this as an exactly-invertible map over continuous states
+    ``(h, g, pos, vel)`` with per-molecule ldj ``[B]``.
+    """
+    if cfg.integrator == "lf":
+        return _lf_forward(params, cfg, sys)
+    if cfg.integrator == "vv":
+        return _vv_forward(params, cfg, sys)
+    raise ValueError(cfg.integrator)
+
+
+def reverse_core(params, cfg: FlowConfig, sys: System):
+    """Exact inverse of :func:`forward_core`; returns ``(sys, ldj [B])``
+    where ldj is ``log|det J_reverse|`` (the negative of the forward ldj
+    along the same trajectory). For a latent sample ``z`` with base density
+    ``log p(z)``, the flow-proposal density at ``x = reverse_core(z)`` is
+    ``log q(x) = log p(z) - ldj``.
+    """
+    if cfg.integrator == "lf":
+        return _lf_reverse(params, cfg, sys)
+    if cfg.integrator == "vv":
+        return _vv_reverse(params, cfg, sys)
+    raise ValueError(cfg.integrator)
+
+
 def reverse(params, cfg: FlowConfig, sys: System):
     """Integrate backward + re-quantize (exact inverse of ``forward`` modulo
     the stochastic dequantization noise; ``reverse(forward(x)) == x``
     exactly, including one-hot recovery)."""
-    if cfg.integrator == "lf":
-        sys = _lf_reverse(params, cfg, sys)
-    elif cfg.integrator == "vv":
-        sys = _vv_reverse(params, cfg, sys)
-    else:
-        raise ValueError(cfg.integrator)
+    sys, _ = reverse_core(params, cfg, sys)
     return sys.replace(h=_dequant_reverse(cfg, sys.h, sys.mask))

@@ -48,14 +48,46 @@ def lj_potential(pos, mask, softening):
     return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
 
 
-def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0):
-    """Scalar NLL for a batched flow output (reference loss.py:21-25)."""
+def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0):
+    """Per-molecule latent log density ``[B]`` under the LJ-fluid base.
+
+    ``ldj`` is the per-molecule log-det vector from ``flow.forward``. The
+    reference computes one batch scalar with a single global ``log(2*pi)``
+    from each ``log_gaussian`` call (helpers.py:4-5); per molecule we charge
+    that constant once per call per molecule — ``alchemical_nll`` subtracts
+    the difference so the batch scalar keeps bitwise formula parity.
+
+    Samplers (SMC/AIS) use this as the flow-proposal log density: for
+    ``x -> forward -> (out, ldj)``, ``log q(x) = alchemical_log_px(out, ldj)``.
+    """
     am = out.mask[..., None]
-    H = lj_potential(out.pos, out.mask, softening).sum()
-    H = H + 0.5 * jnp.where(am, out.vel * out.vel, 0.0).sum()
-    num_atoms = out.num_atoms.astype(out.pos.dtype)
-    logZ = -num_atoms * (math.log(partition_func) - 1.5 * jnp.log(2.0 * jnp.pi / kBT))
-    log_gh = -0.5 * (jnp.where(am, out.h * out.h, 0.0).sum() + LOG_2PI)
-    log_gg = -0.5 * (jnp.where(am, out.g * out.g, 0.0).sum() + LOG_2PI)
-    log_px = -H / kBT + logZ + ldj + log_gh + log_gg
-    return -log_px / out.num_mols
+    H = lj_potential(out.pos, out.mask, softening)                   # [B]
+    H = H + 0.5 * jnp.where(am, out.vel * out.vel, 0.0).sum(axis=(1, 2))
+    n_atoms = out.mask.sum(axis=1).astype(out.pos.dtype)             # [B]
+    logZ = -n_atoms * (math.log(partition_func)
+                       - 1.5 * jnp.log(2.0 * jnp.pi / kBT))
+    log_gh = -0.5 * (jnp.where(am, out.h * out.h, 0.0).sum(axis=(1, 2))
+                     + LOG_2PI)
+    log_gg = -0.5 * (jnp.where(am, out.g * out.g, 0.0).sum(axis=(1, 2))
+                     + LOG_2PI)
+    return -H / kBT + logZ + ldj + log_gh + log_gg
+
+
+def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0,
+                   num_log_gaussian_calls=3):
+    """Scalar NLL for a batched flow output (reference loss.py:21-25).
+
+    Exactly the reference value: the per-molecule terms are summed over real
+    molecules and the ``log(2*pi)``-per-``log_gaussian``-call constant is
+    re-globalized — the reference charges it once per *batch* per call
+    (helpers.py:4-5) while the per-molecule helper charges it once per
+    molecule. ``num_log_gaussian_calls`` is 3 for the ArgMax dequantizer
+    (its log_q + the loss's h and g terms) and 2 for Floor (no Gaussian in
+    its log_q).
+    """
+    real = out.mask.any(axis=1)
+    per_mol = alchemical_log_px(out, ldj, kBT, softening, partition_func)
+    num_mols = real.sum().astype(out.pos.dtype)
+    log_px = (jnp.where(real, per_mol, 0.0).sum()
+              + 0.5 * num_log_gaussian_calls * LOG_2PI * (num_mols - 1.0))
+    return -log_px / num_mols

@@ -39,10 +39,13 @@ def forward(params, h, atom_mask, key):
       key: PRNG key for the dequantization noise.
 
     Returns:
-      ``(z [B, N, nf], log_q scalar)``. ``log_q`` follows the reference
-      convention exactly (including the single ``log(2*pi)`` of the
-      reference's ``log_gaussian``, helpers.py:4-5) and is *added* to the ldj
-      by the integrators, as the reference does (``flow/dynamics.py:11``).
+      ``(z [B, N, nf], log_q [B])`` — per-molecule log_q (samplers need
+      per-particle densities; summing recovers the reference's batch scalar).
+      The formula follows the reference convention exactly; the reference's
+      ``log_gaussian`` adds a single ``log(2*pi)`` per call (helpers.py:4-5),
+      which here is charged once per molecule — the batch NLL re-applies the
+      global-constant quirk (see ``flow/loss.py``). ``log_q`` is *added* to
+      the ldj by the integrators, as the reference does (dynamics.py:11).
     """
     am = atom_mask[..., None]
     net_out = apply_mlp(params["network"], h)
@@ -50,14 +53,15 @@ def forward(params, h, atom_mask, key):
     eps = jax.random.normal(key, h.shape, h.dtype)
     u = translate + eps * jnp.exp(log_scale)
 
-    # log_q = log_gaussian(u) - log_scale.sum()   (masked)
+    # log_q = log_gaussian(u) - log_scale.sum()   (masked, per molecule)
     u_sq = jnp.where(am, u * u, 0.0)
-    log_q = -0.5 * (u_sq.sum() + LOG_2PI) - jnp.where(am, log_scale, 0.0).sum()
+    log_q = (-0.5 * (u_sq.sum(axis=(1, 2)) + LOG_2PI)
+             - jnp.where(am, log_scale, 0.0).sum(axis=(1, 2)))
 
     T = (h * u).sum(-1, keepdims=True)
     z = h * u + (1.0 - h) * (T - jax.nn.softplus(T - u))
     ldj = (1.0 - h) * jax.nn.log_sigmoid(T - u)
-    log_q = log_q - jnp.where(am, ldj, 0.0).sum()
+    log_q = log_q - jnp.where(am, ldj, 0.0).sum(axis=(1, 2))
 
     return jnp.where(am, z, 0.0), log_q
 

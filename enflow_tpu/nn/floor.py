@@ -18,7 +18,8 @@ def init_floor(dequant_scale=1.0):
 def forward(params, h, atom_mask, key):
     noise = jax.random.uniform(key, h.shape, h.dtype)
     z = h + params["dequant_scale"].astype(h.dtype) * noise
-    return jnp.where(atom_mask[..., None], z, 0.0), jnp.zeros((), h.dtype)
+    return (jnp.where(atom_mask[..., None], z, 0.0),
+            jnp.zeros((h.shape[0],), h.dtype))
 
 
 def reverse(z, atom_mask):

@@ -1,0 +1,8 @@
+from . import targets
+from .mcmc import hmc_kernel, run_hmc, mala_kernel, dual_averaging_warmup
+from .smc import (
+    ess_from_log_weights,
+    systematic_resample,
+    smc,
+    ais,
+)

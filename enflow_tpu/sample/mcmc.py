@@ -1,0 +1,163 @@
+"""MCMC kernels (HMC, MALA) over pytree states, vectorized over chains.
+
+TPU-native design: every kernel is a pure function ``(key, state) -> state``
+over an arbitrary pytree state; chains are a leading axis handled by ``vmap``
+and steps by ``lax.scan`` — thousands of chains run as one fused XLA program
+(there is no MCMC in the reference; this is the north-star refinement layer,
+BASELINE.json "HMC/NUTS refinement").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_randn_like(key, tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, x.shape, x.dtype)
+                  for k, x in zip(keys, leaves)])
+
+
+def _tree_dot(a, b):
+    return sum((x * y).sum() for x, y in
+               zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def _tree_axpy(alpha, x, y):
+    """alpha * x + y over pytrees."""
+    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, x, y)
+
+
+def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
+               grad_log_prob: Callable | None = None):
+    """One HMC step for a single chain. Returns ``(x', accepted, log_prob')``."""
+    glp = grad_log_prob or jax.grad(log_prob)
+    kmom, kacc = jax.random.split(key)
+    p0 = _tree_randn_like(kmom, x)
+
+    def leapfrog(carry, _):
+        q, p = carry
+        p = _tree_axpy(0.5 * step_size, glp(q), p)
+        q = _tree_axpy(step_size, p, q)
+        p = _tree_axpy(0.5 * step_size, glp(q), p)
+        return (q, p), None
+
+    (q_new, p_new), _ = jax.lax.scan(leapfrog, (x, p0), None,
+                                     length=n_leapfrog)
+
+    lp0 = log_prob(x)
+    lp1 = log_prob(q_new)
+    h0 = -lp0 + 0.5 * _tree_dot(p0, p0)
+    h1 = -lp1 + 0.5 * _tree_dot(p_new, p_new)
+    log_alpha = h0 - h1
+    accept = jnp.log(jax.random.uniform(kacc)) < log_alpha
+    x_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), q_new, x)
+    return x_out, accept, jnp.where(accept, lp1, lp0)
+
+
+def mala_kernel(key, x, log_prob: Callable, step_size,
+                grad_log_prob: Callable | None = None):
+    """One Metropolis-adjusted Langevin step for a single chain."""
+    glp = grad_log_prob or jax.grad(log_prob)
+    knoise, kacc = jax.random.split(key)
+    noise = _tree_randn_like(knoise, x)
+    g = glp(x)
+    mean_fwd = _tree_axpy(step_size, g, x)
+    prop = _tree_axpy(jnp.sqrt(2.0 * step_size), noise, mean_fwd)
+    g_prop = glp(prop)
+    mean_rev = _tree_axpy(step_size, g_prop, prop)
+
+    def lsq(a, b):
+        return sum(((u - v) ** 2).sum() for u, v in
+                   zip(jax.tree_util.tree_leaves(a),
+                       jax.tree_util.tree_leaves(b)))
+
+    log_alpha = (log_prob(prop) - log_prob(x)
+                 + (-lsq(x, mean_rev) + lsq(prop, mean_fwd)) / (4.0 * step_size))
+    accept = jnp.log(jax.random.uniform(kacc)) < log_alpha
+    x_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b),
+                                   prop, x)
+    return x_out, accept
+
+
+class HMCResult(NamedTuple):
+    samples: object          # pytree with leading [n_samples, C, ...]
+    final_state: object      # pytree [C, ...]
+    accept_rate: jax.Array   # scalar
+
+
+def run_hmc(key, x0, log_prob: Callable, *, n_samples: int, n_warmup: int = 0,
+            step_size=0.1, n_leapfrog: int = 10, thin: int = 1) -> HMCResult:
+    """Run vmapped HMC chains. ``x0`` has a leading chain axis ``[C, ...]``;
+    ``log_prob`` maps one chain state to a scalar."""
+    kernel = jax.vmap(
+        lambda k, x: hmc_kernel(k, x, log_prob, step_size, n_leapfrog),
+        in_axes=(0, 0))
+    n_chains = jax.tree_util.tree_leaves(x0)[0].shape[0]
+
+    def sweep(carry, k):
+        x, acc = carry
+        keys = jax.random.split(k, n_chains)
+
+        def one(i, xa):
+            x, a = xa
+            x, accepted, _ = kernel(jax.vmap(jax.random.fold_in,
+                                             (0, None))(keys, i), x)
+            return x, a + accepted.mean()
+
+        x, acc_inc = jax.lax.fori_loop(0, thin, one, (x, 0.0))
+        return (x, acc + acc_inc / thin), x
+
+    # warmup (discarded)
+    key, kw = jax.random.split(key)
+    if n_warmup:
+        (x0, _), _ = jax.lax.scan(
+            sweep, (x0, 0.0), jax.random.split(kw, n_warmup))
+
+    (xf, acc), samples = jax.lax.scan(
+        sweep, (x0, 0.0), jax.random.split(key, n_samples))
+    return HMCResult(samples=samples, final_state=xf,
+                     accept_rate=acc / n_samples)
+
+
+def dual_averaging_warmup(key, x0, log_prob: Callable, *, n_adapt: int = 100,
+                          n_leapfrog: int = 10, target_accept: float = 0.65,
+                          init_step_size: float = 0.1):
+    """Nesterov dual-averaging step-size adaptation (Hoffman & Gelman 2014).
+
+    Returns ``(adapted_step_size, x_adapted)``. Chains share one step size
+    (mean acceptance statistic).
+    """
+    kernel = jax.vmap(
+        lambda k, x, eps: hmc_kernel(k, x, log_prob, eps, n_leapfrog),
+        in_axes=(0, 0, None))
+    n_chains = jax.tree_util.tree_leaves(x0)[0].shape[0]
+
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def step(carry, tk):
+        t, k = tk
+        x, log_eps, log_eps_bar, h_bar = carry
+        keys = jax.random.split(k, n_chains)
+        x, accepted, _ = kernel(keys, x, jnp.exp(log_eps))
+        a = accepted.mean()
+        tt = t + 1.0
+        h_bar = (1.0 - 1.0 / (tt + t0)) * h_bar + (target_accept - a) / (tt + t0)
+        log_eps = mu - jnp.sqrt(tt) / gamma * h_bar
+        w = tt ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (x, log_eps, log_eps_bar, h_bar), a
+
+    init = (x0, jnp.log(init_step_size), jnp.log(init_step_size), 0.0)
+    (x, _, log_eps_bar, _), _ = jax.lax.scan(
+        step, init,
+        (jnp.arange(n_adapt, dtype=jnp.float32),
+         jax.random.split(key, n_adapt)))
+    return jnp.exp(log_eps_bar), x

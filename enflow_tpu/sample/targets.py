@@ -1,0 +1,89 @@
+"""Boltzmann target distributions for the samplers.
+
+North-star configs (BASELINE.json): DW4 double-well, LJ13/LJ55 clusters, and
+the alchemical LJ-fluid base the flow is trained against. Targets expose a
+per-configuration ``log_prob`` over a single state; samplers ``vmap`` over
+the particle/chain axis.
+
+Conventions: reduced units, unit particle mass; cluster targets add a
+harmonic center-of-mass restraint (standard in the equivariant-flow
+literature for LJn clusters, which are otherwise translation-unbound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..sim.potentials import lj_energy
+from ..flow.loss import alchemical_log_px
+
+
+@dataclasses.dataclass(frozen=True)
+class Target:
+    """A Boltzmann target: ``log_prob(x)`` for one configuration ``x``."""
+
+    log_prob: Callable
+    dim: tuple
+    name: str = "target"
+
+
+def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
+               sigma: float = 1.0, c_osc: float = 0.5) -> Target:
+    """LJ_n cluster (e.g. LJ13, LJ55): ``U = LJ + c*sum|x - com|^2``.
+
+    ``x`` is ``[n, 3]``. The harmonic term restrains the center of mass so
+    the Boltzmann density is normalizable.
+    """
+
+    def log_prob(x):
+        com = x.mean(axis=0, keepdims=True)
+        u = lj_energy(x, epsilon=epsilon, sigma=sigma)
+        u = u + c_osc * ((x - com) ** 2).sum()
+        return -u / kBT
+
+    return Target(log_prob=log_prob, dim=(n, 3), name=f"lj{n}")
+
+
+def double_well(n: int = 4, dim: int = 2, kBT: float = 1.0, a: float = 0.0,
+                b: float = -4.0, c: float = 0.9, d0: float = 4.0,
+                tau: float = 1.0) -> Target:
+    """DW-n pairwise double-well (the DW4 benchmark): for each pair,
+    ``u = a*(d-d0) + b*(d-d0)^2 + c*(d-d0)^4`` (standard parameters
+    a=0, b=-4, c=0.9, d0=4, temperature 1)."""
+
+    def log_prob(x):
+        diff = x[:, None, :] - x[None, :, :]
+        d = jnp.sqrt((diff * diff).sum(-1) + 1e-12)
+        iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+        dd = d - d0
+        u = a * dd + b * dd**2 + c * dd**4
+        return -jnp.where(iu, u, 0.0).sum() / (tau * kBT)
+
+    return Target(log_prob=log_prob, dim=(n, dim), name=f"dw{n}")
+
+
+def gaussian(shape, std: float = 1.0) -> Target:
+    """Isotropic Gaussian (exact-moment oracle for sampler tests)."""
+
+    def log_prob(x):
+        return -0.5 * ((x / std) ** 2).sum()
+
+    return Target(log_prob=log_prob, dim=tuple(shape), name="gaussian")
+
+
+def alchemical_base(kBT: float, softening: float,
+                    partition_func: float = 10.0) -> Callable:
+    """Per-molecule log density of the alchemical LJ-fluid base over a full
+    ``System`` batch (the latent distribution the flow is trained against;
+    reference ``flow/loss.py:21-25`` without the ldj term). Returns a
+    function ``System -> [B]``."""
+
+    def log_prob(sys_batch):
+        zero = jnp.zeros((sys_batch.num_mols,), sys_batch.pos.dtype)
+        return alchemical_log_px(sys_batch, zero, kBT, softening,
+                                 partition_func)
+
+    return log_prob

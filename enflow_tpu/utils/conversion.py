@@ -78,3 +78,28 @@ def lj_to_vel(x_, unit1='ang', unit2='pico'):
     a = _DIST_UNITS[unit1]
     b = _TIME_UNITS[unit2]
     return lj_to_meter_per_sec(x_) * b / a
+
+
+# ---------------------------------------------------------------------------
+# Dimensionally-correct time conversion for MD.
+#
+# The reference's reduced time/velocity scale ``sqrt(eps/M)`` mixes molar
+# energy (J/mol) with per-particle mass (amu = g/mol), leaving a residual
+# factor sqrt(1000 g/kg): physically, sqrt(eps/(M*1e-3 kg/mol)) has units of
+# m/s. Everything in the reference is *self-consistent* in its convention
+# (velocities, dt, kelvin_to_lj), so flow/NLL parity keeps the plain
+# functions above. The MD *dynamics*, however, should advance real time the
+# way OpenMM does (reference simulated.py:110 runs in real units): the
+# simulator uses these corrected conversions for dt and friction so that
+# "0.004 ps" means the same amount of decorrelation it does in the reference.
+# ---------------------------------------------------------------------------
+
+_MOLAR_MASS_FIX = math.sqrt(1000.0)
+
+
+def second_to_lj_md(t):
+    return second_to_lj(t) * _MOLAR_MASS_FIX
+
+
+def time_to_lj_md(t, unit='pico'):
+    return second_to_lj_md(t * _TIME_UNITS[unit])

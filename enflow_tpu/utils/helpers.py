@@ -72,6 +72,11 @@ def get_box_len(pos):
     return jnp.round(pos.max(axis=0) - pos.min(axis=0))
 
 
+def get_box_len_np(pos):
+    """Host-side (NumPy) twin of :func:`get_box_len` for dataset code."""
+    return np.round(np.asarray(pos).max(axis=0) - np.asarray(pos).min(axis=0))
+
+
 def one_hot(index, num_classes, dtype=jnp.float32):
     """One-hot encoding (reference helpers.py:43-52)."""
     return jax.nn.one_hot(index, num_classes, dtype=dtype)

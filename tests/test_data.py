@@ -1,0 +1,263 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enflow_tpu.data import formats
+from enflow_tpu.data.datasets import (
+    ComposeDatasets,
+    DataLoader,
+    InMemoryDataset,
+    pad_samples,
+)
+from enflow_tpu.data.readers import (
+    SDFDataset,
+    TRRDataset,
+    XYZDataset,
+    HDF5Dataset,
+)
+from enflow_tpu.data import transforms as T
+from enflow_tpu.flow.loss import alchemical_nll
+from enflow_tpu.utils.conversion import dist_to_lj
+
+
+class ToyDataset(InMemoryDataset):
+    def process(self, n_mols=4, n_atoms=5, **_):
+        rng = np.random.default_rng(0)
+        for i in range(n_mols):
+            n = n_atoms + (i % 2)  # varying sizes
+            self.append(z=["C"] * n, pos=rng.normal(size=(n, 3)),
+                        label=f"mol{i}")
+
+
+def toy(**kw):
+    kw.setdefault("r_cut", 3.0)
+    kw.setdefault("box", [10.0, 10.0, 10.0])
+    return ToyDataset(**kw)
+
+
+def test_get_sample_one_hot_and_g():
+    d = toy()
+    s = d[0]
+    assert s.h.shape == (5, 5)
+    assert (s.h.sum(axis=1) == 1).all()
+    assert s.h[:, 1].sum() == 5  # all carbon
+    assert s.g.shape == s.h.shape
+    assert s.r_cut == 3.0
+
+
+def test_r_cut_required():
+    with pytest.raises(ValueError, match="r_cut"):
+        ToyDataset(box=[10, 10, 10])
+
+
+def test_transform_pipeline_units():
+    tf = T.Compose([T.ConvertPositionsFrom("ang"), T.Center()])
+    d = toy(transform=tf)
+    s = d[0]
+    # positions centered and reduced (3.4 A = 1 sigma)
+    np.testing.assert_allclose(s.pos.mean(axis=0), 0, atol=1e-12)
+    np.testing.assert_allclose(s.box, dist_to_lj(10.0, "ang"))
+    assert s.r_cut == pytest.approx(dist_to_lj(3.0, "ang"))
+
+
+def test_randomize_velocity_stats():
+    kBT = 0.8
+    tf = T.RandomizeVelocity(kBT, seed=0)
+    d = ToyDataset(r_cut=3.0, box=[10] * 3, transform=tf, n_mols=40,
+                   n_atoms=30)
+    v = np.concatenate([s.vel for s in d.samples])
+    assert v.var() == pytest.approx(kBT, rel=0.1)
+
+
+def test_processed_file_cache(tmp_path):
+    cache = str(tmp_path / "processed.pt")
+    d1 = toy(processed_file=cache)
+    assert os.path.exists(cache)
+    d2 = toy(processed_file=cache)
+    np.testing.assert_array_equal(d1[0].pos, d2[0].pos)
+    assert len(d2) == len(d1)
+
+
+def test_compose_datasets():
+    c = ComposeDatasets([toy(), toy(n_mols=2)])
+    assert len(c) == 6
+    assert c.node_nf == 5
+
+
+def test_dataloader_padding_and_shuffle():
+    d = toy(n_mols=5)
+    dl = DataLoader(d, batch_size=2, shuffle=True, seed=1, dtype=jnp.float64)
+    batches = list(dl)
+    assert len(batches) == 3
+    for b in batches:
+        assert b.pos.shape == (2, d.max_atoms, 3)
+    # final batch has one dummy molecule
+    last = batches[-1]
+    mol_real = np.asarray(last.mask).any(axis=1)
+    assert mol_real.sum() == 1
+    # epochs reshuffle
+    dl.set_epoch(0)
+    a = np.asarray(next(iter(dl)).pos)
+    dl.set_epoch(1)
+    b = np.asarray(next(iter(dl)).pos)
+    assert not np.allclose(a, b)
+
+
+def test_dataloader_sharding_disjoint():
+    d = toy(n_mols=8, n_atoms=4)
+    seen = []
+    for r in range(2):
+        dl = DataLoader(d, batch_size=2, shard=(2, r), dtype=jnp.float64)
+        for batch in dl:
+            seen.append(np.asarray(batch.pos))
+    # 2 shards x 2 batches of 2 = all 8 molecules exactly once
+    allpos = np.concatenate([p.reshape(-1) for p in seen])
+    assert len(seen) == 4
+
+
+def test_loss_ignores_dummy_molecules():
+    d = toy(n_mols=3)
+    samples = [d[i] for i in range(3)]
+    full = pad_samples(samples, d.max_atoms, d.node_nf, jnp.float64)
+    padded = pad_samples(samples, d.max_atoms, d.node_nf, jnp.float64,
+                         n_mols=5)
+    l1 = float(alchemical_nll(full, 0.0, 0.8, 0.1))
+    l2 = float(alchemical_nll(padded, 0.0, 0.8, 0.1))
+    assert l1 == pytest.approx(l2, rel=1e-12)
+
+
+# --- formats ---------------------------------------------------------------
+
+def test_xyz_roundtrip(tmp_path):
+    path = str(tmp_path / "a.xyz")
+    pos = np.asarray([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]])
+    formats.write_xyz(path, ["C", "O"], pos)
+    frames = formats.parse_xyz(path)
+    assert len(frames) == 1
+    z, p = frames[0]
+    assert z == ["C", "O"]
+    np.testing.assert_allclose(p, pos)
+
+
+def test_pdb_roundtrip(tmp_path):
+    path = str(tmp_path / "a.pdb")
+    pos = np.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    with open(path, "w") as f:
+        formats.write_pdb_model(f, ["Ar", "Ar"], pos, box=[10, 10, 10], model=1)
+        formats.write_pdb_model(f, ["Ar", "Ar"], pos + 1, box=[10, 10, 10], model=2)
+    frames = formats.parse_pdb(path)
+    assert len(frames) == 2
+    z, p, box = frames[0]
+    assert z == ["Ar", "Ar"]
+    np.testing.assert_allclose(p, pos, atol=1e-3)
+    np.testing.assert_allclose(box, [10, 10, 10])
+
+
+def test_sdf_parse(tmp_path):
+    sdf = (
+        "mol1\n  prog\n comment\n"
+        "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 O   0  0\n"
+        "    0.9600    0.0000    0.0000 H   0  0\n"
+        "   -0.2400    0.9300    0.0000 H   0  0\n"
+        "  1  2  1  0\n  1  3  1  0\nM  END\n$$$$\n"
+    )
+    path = str(tmp_path / "a.sdf")
+    with open(path, "w") as f:
+        f.write(sdf)
+    mols = formats.parse_sdf(path)
+    assert len(mols) == 1
+    name, z, pos = mols[0]
+    assert name == "mol1" and z == ["O", "H", "H"]
+    assert pos[1, 0] == pytest.approx(0.96)
+
+
+def test_trr_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "a.trr")
+    frames_in = []
+    for step in (0, 10):
+        frames_in.append({
+            "step": step, "time": step * 0.002,
+            "box": np.diag([2.5, 2.5, 2.5]),
+            "pos": rng.normal(size=(7, 3)),
+            "vel": rng.normal(size=(7, 3)),
+        })
+    formats.write_trr(path, frames_in, double=True)
+    out = formats.read_trr(path)
+    assert len(out) == 2
+    for fin, fout in zip(frames_in, out):
+        assert fout["step"] == fin["step"]
+        np.testing.assert_allclose(fout["pos"], fin["pos"], atol=1e-12)
+        np.testing.assert_allclose(fout["vel"], fin["vel"], atol=1e-12)
+        np.testing.assert_allclose(np.diag(fout["box"]), 2.5)
+    # single precision path
+    formats.write_trr(path, frames_in, double=False)
+    out32 = formats.read_trr(path)
+    np.testing.assert_allclose(out32[0]["pos"], frames_in[0]["pos"], atol=1e-5)
+
+
+# --- readers ---------------------------------------------------------------
+
+def test_xyz_dataset(tmp_path):
+    path = str(tmp_path / "traj.xyz")
+    rng = np.random.default_rng(1)
+    with open(path, "w") as f:
+        for _ in range(3):
+            f.write("2\nc\nC 0.0 0.0 0.0\nO 1.2 0.0 0.0\n")
+    d = XYZDataset(raw_file=path, r_cut=3.0, box=[10, 10, 10])
+    assert len(d) == 3
+    assert d[0].z == ["C", "O"]
+    del rng
+
+
+def test_sdf_dataset(tmp_path):
+    path = str(tmp_path / "a.sdf")
+    sdf = (
+        "water\n  x\n x\n"
+        "  3  0  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 O   0  0\n"
+        "    0.9600    0.0000    0.0000 H   0  0\n"
+        "   -0.2400    0.9300    0.0000 H   0  0\n"
+        "M  END\n$$$$\n"
+    )
+    with open(path, "w") as f:
+        f.write(sdf)
+    d = SDFDataset(raw_file=path, r_cut=3.0, box=[10, 10, 10])
+    assert len(d) == 1
+    s = d[0]
+    assert s.label == "water"
+    assert s.h.shape == (3, 5)  # default HCNOF vocabulary
+    assert s.h[0, 3] == 1  # O is index 3
+
+
+def test_trr_dataset(tmp_path):
+    rng = np.random.default_rng(2)
+    traj = str(tmp_path / "t.trr")
+    frames = [{"step": i, "time": 0.0, "box": np.diag([3.0, 3.0, 3.0]),
+               "pos": rng.normal(size=(4, 3)),
+               "vel": rng.normal(size=(4, 3))} for i in range(2)]
+    formats.write_trr(traj, frames, double=True)
+    d = TRRDataset(traj_file=traj, r_cut=3.0, dist_unit="nm",
+                   atom_types=["Ar"])
+    assert len(d) == 2
+    s = d[0]
+    assert s.num_atoms == 4
+    np.testing.assert_allclose(s.pos, frames[0]["pos"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.box), 3.0)
+
+
+def test_hdf5_dataset(tmp_path):
+    import h5py
+    path = str(tmp_path / "a.h5")
+    rng = np.random.default_rng(3)
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("g1").create_group("mol1")
+        grp["species"] = np.array([b"C", b"O"])
+        grp["coordinates"] = rng.normal(size=(1, 2, 3))
+        grp["cell"] = np.tile(np.eye(3) * 9.0, (1, 1, 1))
+    d = HDF5Dataset(raw_file=path, r_cut=3.0)
+    assert len(d) == 1
+    np.testing.assert_allclose(np.asarray(d[0].box), 9.0)

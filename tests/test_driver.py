@@ -1,0 +1,182 @@
+"""End-to-end driver tests: train -> checkpoint -> resume -> generate,
+mirroring the reference call stacks (SURVEY §3.1-3.3)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from enflow_tpu.train.driver import Main
+
+
+def write_xyz_dataset(path, n_frames=12, n_atoms=4, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n_frames):
+            f.write(f"{n_atoms}\nc\n")
+            for a in range(n_atoms):
+                sym = ["C", "O", "H", "N"][a % 4]
+                x, y, z = rng.uniform(-3, 3, 3)
+                f.write(f"{sym} {x:.6f} {y:.6f} {z:.6f}\n")
+
+
+def base_config(tmp_path, xyz):
+    return {
+        "mode": "train",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 1,
+        "dataset": {
+            "type": "xyz",
+            "raw_file": xyz,
+            "box": [10.0, 10.0, 10.0],
+            "r_cut": 9.0,
+            "randomize_vel": True,
+            "temp": 300,
+        },
+        "dynamics": {
+            "integrator": "lf",
+            "n_iter": 2,
+            "dt": 1,
+            "checkpoint_path": str(tmp_path / "model.cpt"),
+            "network": {"hidden_nf": 16},
+        },
+        "training": {
+            "num_epochs": 3,
+            "batch_size": 4,
+            "lr": 1e-3,
+            "scheduler": False,
+            "loss": {"temp": 300, "softening": 0.5},
+            "log_interval": 1,
+        },
+    }
+
+
+def run_main(tmp_path, cfg, name="cfg.yaml"):
+    path = str(tmp_path / name)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    m = Main()
+    m(path)
+    return m
+
+
+def test_train_checkpoint_resume_generate(tmp_path, capsys):
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cfg = base_config(tmp_path, xyz)
+
+    m = run_main(tmp_path, cfg)
+    assert os.path.exists(cfg["dynamics"]["checkpoint_path"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    assert len(lines) == 3  # one table row per epoch
+    losses = [float(l.split()[1]) for l in lines]
+    assert all(np.isfinite(losses))
+    # (clear loss decrease is asserted deterministically in
+    # test_training_learns; 3 epochs of stochastic dequant noise here)
+
+    # resume: epochs continue from the checkpoint (reference main.py:157)
+    m2 = run_main(tmp_path, cfg)
+    out2 = capsys.readouterr().out
+    assert "Loading from saved state" in out2
+    rows = [l for l in out2.split("\n") if l.strip() and l[0].isdigit()]
+    assert int(rows[0].split()[0]) == 3  # starts at epoch 3
+    assert np.isfinite(float(rows[0].split()[1]))
+
+    # generate mode: model rebuilt from checkpoint hparams alone
+    gen_cfg = {
+        "mode": "generate",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "dataset": {
+            "type": "lj",
+            "n_atoms": 6,
+            "box": [14.0, 14.0, 14.0],
+            "discard": -1,
+            "n_iter": 40,
+            "interval": 20,
+            "friction": 1,
+            "dt": 0.004,
+            "minimize_steps": 30,
+        },
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
+    }
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        m3 = run_main(tmp_path, gen_cfg, "gen.yaml")
+    finally:
+        os.chdir(cwd)
+    out3 = capsys.readouterr().out
+    assert os.path.exists(tmp_path / "h.out")
+    assert os.path.exists(tmp_path / "test_out.xyz")
+    # roundtrip printout: both checks must be True in float64
+    flags = [l for l in out3.split("\n") if l.strip() in ("True", "False")]
+    assert flags == ["True", "True"]
+    # generated h is one-hot of width node_nf from the checkpoint
+    h = np.loadtxt(tmp_path / "h.out")
+    assert h.shape == (6, 5)  # default HCNOF vocabulary width
+    assert set(np.unique(h)) <= {0.0, 1.0}
+    del m, m2, m3
+
+
+def test_training_learns(tmp_path):
+    """Deterministic check that optimization reduces the NLL: repeated steps
+    on one fixed batch with a fixed dequantization key."""
+    import jax
+
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cfg = base_config(tmp_path, xyz)
+    cfg["dynamics"]["checkpoint_path"] = str(tmp_path / "learn.cpt")
+    path = str(tmp_path / "learn.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    m = Main()
+    m.setup(path)
+    step = m._make_train_step()
+    batch = next(iter(m.train_loader))
+    key = jax.random.PRNGKey(0)
+    params, opt_state = m.params, m.opt_state
+    first = None
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first - 1.0
+
+
+def test_dataset_mode_caches(tmp_path):
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cache = str(tmp_path / "processed.pkl")
+    cfg = {
+        "mode": "dataset",
+        "units": {"time": "pico", "dist": "ang"},
+        "dataset": {
+            "type": "xyz",
+            "raw_file": xyz,
+            "processed_file": cache,
+            "box": [10.0, 10.0, 10.0],
+            "r_cut": 9.0,
+        },
+    }
+    run_main(tmp_path, cfg)
+    assert os.path.exists(cache)
+
+
+def test_scheduler_decays_lr(tmp_path, capsys):
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cfg = base_config(tmp_path, xyz)
+    cfg["dynamics"]["checkpoint_path"] = str(tmp_path / "m2.cpt")
+    cfg["training"].update(scheduler=True, scheduler_step=2, gamma=0.5,
+                           num_epochs=2)
+    run_main(tmp_path, cfg)
+    out = capsys.readouterr().out
+    rows = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    lrs = [float(l.split()[3]) for l in rows]
+    # 3 batches/epoch, step decay every 2 optimizer steps
+    assert lrs[-1] < lrs[0] <= 1e-3

@@ -52,7 +52,8 @@ def test_invertibility(integrator):
     params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
 
     out, ldj = forward(params, cfg, sys0, jax.random.PRNGKey(1))
-    assert np.isfinite(float(ldj))
+    assert ldj.shape == (sys0.num_mols,)
+    assert np.isfinite(np.asarray(ldj)).all()
     back = reverse(params, cfg, out)
 
     np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys0.pos), atol=1e-8)
@@ -95,7 +96,7 @@ def test_ldj_matches_autodiff(integrator, core):
     sign, logdet = np.linalg.slogdet(np.asarray(J))
     assert sign > 0
     _, ldj = run(x0)
-    assert float(ldj) == pytest.approx(float(logdet), abs=1e-8)
+    assert float(ldj[0]) == pytest.approx(float(logdet), abs=1e-8)
 
 
 def test_parity_vs_exact_ldj_factor():
@@ -107,7 +108,8 @@ def test_parity_vs_exact_ldj_factor():
     key = jax.random.PRNGKey(5)
     _, ldj_p = forward(params, cfg_p, sys0, key)
     _, ldj_e = forward(params, cfg_e, sys0, key)
-    assert float(ldj_e) == pytest.approx(3.0 * float(ldj_p), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(ldj_e), 3.0 * np.asarray(ldj_p),
+                               rtol=1e-12)
 
 
 def test_nll_golden_manual():
@@ -116,9 +118,12 @@ def test_nll_golden_manual():
     rng = np.random.default_rng(6)
     sys0 = make_onehot_system(rng, B=3, N=5, pad=[0, 1, 2])
     kBT, soft, zlj = 0.83, 0.1, 10.0
-    ldj = 1.234
+    ldj_vec = np.asarray([0.5, 0.4, 0.334])
+    ldj = float(ldj_vec.sum())
 
-    got = float(alchemical_nll(sys0, ldj, kBT, soft, zlj))
+    # the raw ldj vector carries no per-molecule 2*pi constants -> 2 calls
+    got = float(alchemical_nll(sys0, jnp.asarray(ldj_vec), kBT, soft, zlj,
+                               num_log_gaussian_calls=2))
 
     pos = np.asarray(sys0.pos)
     vel = np.asarray(sys0.vel)

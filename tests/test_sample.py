@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enflow_tpu.sample import (
+    ais,
+    dual_averaging_warmup,
+    ess_from_log_weights,
+    hmc_kernel,
+    mala_kernel,
+    run_hmc,
+    smc,
+    systematic_resample,
+    targets,
+)
+
+DTYPE = jnp.float64
+
+
+def test_ess():
+    lw = jnp.zeros(100)
+    assert float(ess_from_log_weights(lw)) == pytest.approx(100.0)
+    lw = jnp.asarray([0.0] + [-1e10] * 99)
+    assert float(ess_from_log_weights(lw)) == pytest.approx(1.0)
+
+
+def test_systematic_resample_proportional():
+    w = jnp.asarray([0.5, 0.25, 0.125, 0.125])
+    idx = systematic_resample(jax.random.PRNGKey(0), jnp.log(w), n=1000)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 1000
+    np.testing.assert_allclose(counts, np.asarray(w), atol=0.01)
+
+
+def test_hmc_gaussian_moments():
+    target = targets.gaussian((4,), std=2.0)
+    x0 = jnp.zeros((64, 4), DTYPE)
+    res = run_hmc(jax.random.PRNGKey(0), x0, target.log_prob,
+                  n_samples=300, n_warmup=50, step_size=0.5, n_leapfrog=8)
+    assert float(res.accept_rate) > 0.6
+    samples = np.asarray(res.samples)  # [300, 64, 4]
+    assert abs(samples.mean()) < 0.1
+    assert samples.var() == pytest.approx(4.0, rel=0.1)
+
+
+def test_dual_averaging_targets_acceptance():
+    target = targets.gaussian((6,), std=1.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (32, 6), DTYPE)
+    eps, x = dual_averaging_warmup(jax.random.PRNGKey(2), x0, target.log_prob,
+                                   n_adapt=150, n_leapfrog=5,
+                                   target_accept=0.65, init_step_size=1.5)
+    # measure acceptance at the adapted step size
+    res = run_hmc(jax.random.PRNGKey(3), x, target.log_prob, n_samples=100,
+                  step_size=eps, n_leapfrog=5)
+    assert 0.45 < float(res.accept_rate) < 0.95
+
+
+def test_mala_moves_and_accepts():
+    target = targets.gaussian((3,), std=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3,), DTYPE) + 5.0
+    accepted = 0
+    for i in range(200):
+        x, acc = mala_kernel(jax.random.fold_in(jax.random.PRNGKey(5), i), x,
+                             target.log_prob, 0.1)
+        accepted += int(acc)
+    assert accepted > 100
+    assert np.linalg.norm(np.asarray(x)) < 4.0  # drifted toward the mode
+
+
+@pytest.mark.parametrize("algo", [smc, ais])
+def test_annealing_gaussian_logz(algo):
+    """Anneal N(0,1) -> N(0, 0.5^2) in d=3: log(Z_p/Z_q) = 3*log(0.5)."""
+    d, P = 3, 512
+    log_q0 = lambda x: -0.5 * (x**2).sum()
+    log_p = lambda x: -0.5 * (x**2).sum() / 0.25
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (P, d), DTYPE)
+    res = algo(jax.random.PRNGKey(7), x0, log_q0=log_q0, log_p=log_p,
+               n_temps=12, mcmc_steps=2, step_size=0.3, n_leapfrog=5)
+    expect = d * np.log(0.5)
+    assert float(res.log_Z) == pytest.approx(expect, abs=0.1)
+    # particle variance matches the target (weighted for AIS)
+    w = np.exp(np.asarray(res.log_weights
+                          - jax.scipy.special.logsumexp(res.log_weights)))
+    x = np.asarray(res.particles)
+    var = (w[:, None] * x**2).sum() / d
+    assert var == pytest.approx(0.25, rel=0.2)
+    assert np.isfinite(np.asarray(res.ess_history)).all()
+
+
+def test_smc_lj13_smoke():
+    """Flow-SMC shape: 13-atom LJ cluster target from a Gaussian proposal."""
+    t = targets.lj_cluster(13, kBT=2.0)
+    P = 128
+    x0 = 1.5 * jax.random.normal(jax.random.PRNGKey(8), (P, 13, 3), DTYPE)
+    log_q0 = lambda x: -0.5 * (x**2).sum() / 1.5**2
+    res = jax.jit(lambda k, x: smc(k, x, log_q0=log_q0, log_p=t.log_prob,
+                                   n_temps=8, mcmc_steps=1, step_size=0.02,
+                                   n_leapfrog=3))(jax.random.PRNGKey(9), x0)
+    assert np.isfinite(float(res.log_Z))
+    assert np.isfinite(np.asarray(res.particles)).all()
+    # energies should have dropped well below the Gaussian cloud's
+    from enflow_tpu.sim import lj_energy
+    e = jax.vmap(lambda x: lj_energy(x))(res.particles)
+    e0 = jax.vmap(lambda x: lj_energy(x))(x0)
+    assert float(jnp.median(e)) < float(jnp.median(e0))
+
+
+def test_flow_reverse_core_ldj_consistency():
+    """reverse_core's ldj is exactly minus the forward ldj (flow-proposal
+    density bookkeeping)."""
+    from enflow_tpu.flow import FlowConfig, init_flow, forward_core, reverse_core
+    from enflow_tpu.nn.egcl import EGCLConfig
+    from tests.test_flow import make_onehot_system
+
+    rng = np.random.default_rng(10)
+    sys0 = make_onehot_system(rng, B=3, N=5)
+    cfg = FlowConfig(n_iter=2, dt=0.05,
+                     egcl=EGCLConfig(node_nf=5, hidden_nf=8))
+    params = init_flow(jax.random.PRNGKey(11), cfg, DTYPE)
+    out, ldj_f = forward_core(params, cfg, sys0)
+    back, ldj_r = reverse_core(params, cfg, out)
+    np.testing.assert_allclose(np.asarray(ldj_r), -np.asarray(ldj_f),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys0.pos),
+                               atol=1e-9)
