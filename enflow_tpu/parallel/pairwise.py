@@ -1,0 +1,96 @@
+"""Atom-axis-sharded pairwise energies: the ring "long-context" pattern.
+
+The reference's scaling wall is the dense O(N^2) pairwise work — the
+27-image neighbor list (reference ``enflow/data/base.py:135``) and the LJ
+loss (``flow/loss.py:14``) both materialize dense distance matrices on one
+device. For large systems (LJ55+, solvated boxes — BASELINE config 5) the
+TPU-native answer (SURVEY §5) is to shard the *atom axis* across the mesh
+and rotate position blocks around the ICI ring with ``lax.ppermute``,
+accumulating per-block pairwise terms — O(N^2/P) compute and O(N/P) memory
+per chip, with bandwidth overlapped by XLA.
+
+``sharded_softened_lj_energy`` matches ``sim.potentials.softened_lj_energy``
+bit-for-block and is differentiable (autodiff through ``ppermute`` yields the
+reverse rotation), so forces and the NLL gradient shard the same way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.helpers import min_image
+
+
+def _block_pair_energy(pos_i, pos_j, box, softening, cutoff, mask_i, mask_j,
+                       exclude_diag):
+    """Sum of pair energies between two atom blocks (ordered pairs)."""
+    diff = pos_i[:, None, :] - pos_j[None, :, :]
+    diff = min_image(diff, box)
+    d2 = (diff * diff).sum(-1)
+    valid = mask_i[:, None] & mask_j[None, :] & (d2 < cutoff * cutoff)
+    if exclude_diag is not None:
+        valid = valid & ~exclude_diag
+    r = jnp.sqrt(jnp.where(valid, d2, 1.0))
+    inv = 1.0 / (softening + r)
+    inv6 = inv**6
+    e = 4.0 * (inv6 * inv6 - inv6)
+    return jnp.where(valid, e, 0.0).sum()
+
+
+def ring_softened_lj_energy(pos_blk, mask_blk, box, softening, cutoff,
+                            axis_name: str):
+    """Per-shard body: total energy with atoms sharded over ``axis_name``.
+
+    ``pos_blk [n_blk, 3]`` / ``mask_blk [n_blk]`` are this device's atoms.
+    Returns the replicated global energy (psum over shards).
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    n_blk = pos_blk.shape[0]
+    eye = jnp.eye(n_blk, dtype=bool)
+
+    def step(s, carry):
+        energy, other_pos, other_mask = carry
+        # at rotation s, `other` originated from shard (my_idx + s) % n_dev
+        diag = jnp.where(s == 0, True, False)
+        e = _block_pair_energy(
+            pos_blk, other_pos, box, softening, cutoff, mask_blk, other_mask,
+            exclude_diag=jnp.where(diag, eye, jnp.zeros_like(eye)))
+        energy = energy + e
+        # rotate: receive the block from my right neighbor
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        other_pos = jax.lax.ppermute(other_pos, axis_name, perm)
+        other_mask = jax.lax.ppermute(other_mask, axis_name, perm)
+        return energy, other_pos, other_mask
+
+    del my_idx
+    # the running energy is per-shard data: mark it varying over the mesh
+    # axis so the fori_loop carry types line up (shard_map VMA typing)
+    zero = jax.lax.pcast(jnp.zeros((), pos_blk.dtype), (axis_name,),
+                         to="varying")
+    energy, _, _ = jax.lax.fori_loop(0, n_dev, step,
+                                     (zero, pos_blk, mask_blk))
+    # ordered pairs counted across all shards -> halve for i<j convention
+    return 0.5 * jax.lax.psum(energy, axis_name)
+
+
+def make_sharded_lj_energy(mesh: Mesh, axis: str = "atom"):
+    """Build a jitted sharded energy: ``f(pos [N,3], mask [N], box, softening,
+    cutoff) -> scalar`` with ``N`` divided over ``mesh[axis]``."""
+
+    @partial(jax.jit, static_argnames=("softening", "cutoff"))
+    def energy(pos, mask, box, softening, cutoff):
+        f = jax.shard_map(
+            lambda p, m, b: ring_softened_lj_energy(
+                p, m, b, softening, cutoff, axis),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=P(),
+        )
+        return f(pos, mask, box)
+
+    return energy

@@ -1,5 +1,6 @@
 from . import targets
 from .mcmc import hmc_kernel, run_hmc, mala_kernel, dual_averaging_warmup
+from .nuts import nuts_kernel, run_nuts
 from .smc import (
     ess_from_log_weights,
     systematic_resample,

@@ -30,18 +30,43 @@ class Target:
     name: str = "target"
 
 
+def regularize_energy(u, e_high):
+    """Log-cap high energies: linear below ``e_high``, logarithmic above.
+
+    Standard Boltzmann-generator energy regularization (cf. Noé et al. 2019):
+    keeps gradients finite and sane when untrained-flow samples land inside
+    the r -> 0 repulsive wall (U ~ 1e15), which otherwise blows up flow-VI.
+    """
+    return jnp.where(u > e_high, e_high + jnp.log1p(u - e_high), u)
+
+
 def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
-               sigma: float = 1.0, c_osc: float = 0.5) -> Target:
+               sigma: float = 1.0, c_osc: float = 0.5,
+               softening: float = 0.0, e_cap: float | None = None) -> Target:
     """LJ_n cluster (e.g. LJ13, LJ55): ``U = LJ + c*sum|x - com|^2``.
 
     ``x`` is ``[n, 3]``. The harmonic term restrains the center of mass so
-    the Boltzmann density is normalizable.
+    the Boltzmann density is normalizable. ``softening`` uses the alchemical
+    soft-core form ``r_sq + s`` (reference flow/loss.py:16); ``e_cap``
+    applies :func:`regularize_energy` — both are training aids for flow-VI
+    and should be annealed to 0/None for exact sampling.
     """
 
     def log_prob(x):
         com = x.mean(axis=0, keepdims=True)
-        u = lj_energy(x, epsilon=epsilon, sigma=sigma)
+        if softening:
+            diff = x[:, None, :] - x[None, :, :]
+            d2 = (diff * diff).sum(-1)
+            iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+            r_sq = jnp.where(iu, d2, 1.0) + softening
+            r6 = r_sq * r_sq * r_sq
+            e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
+            u = jnp.where(iu, e, 0.0).sum()
+        else:
+            u = lj_energy(x, epsilon=epsilon, sigma=sigma)
         u = u + c_osc * ((x - com) ** 2).sum()
+        if e_cap is not None:
+            u = regularize_energy(u, e_cap)
         return -u / kBT
 
     return Target(log_prob=log_prob, dim=(n, 3), name=f"lj{n}")

@@ -1,0 +1,68 @@
+"""Flow-VI: train the flow as a variational family against a Boltzmann target.
+
+North-star capability (BASELINE.json: "flows ... trained as variational
+families against Boltzmann targets", "LJ13: flow-VI training"). The reference
+only trains by maximum likelihood on MD data (reference
+``enflow/main.py:197-261``); flow-VI needs no data at all:
+
+    KL(q || p) = E_{z~base}[ log q(x) - log p(x) ],   x = R(z)
+               = E_{z~base}[ log p0(z) - ldj_R(z) - log p(x) ]
+               = -E[ ldj_R + log p(x) ] + const(params)
+
+so the reparameterized loss is ``-(ldj_R + log p(x)).mean()`` with gradients
+flowing through the deterministic reverse flow ``R`` (``flow.reverse_core``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.system import System
+from ..flow.integrators import FlowConfig, reverse_core
+
+
+def sample_base(key, B, n_atoms, node_nf, *, box, r_cut, pos_std=1.0,
+                vel_std=1.0, feat_std=1.0, dtype=jnp.float32) -> System:
+    """Draw a batch of latent Systems from the Gaussian base distribution."""
+    ks = jax.random.split(key, 4)
+    shape2 = (B, n_atoms, node_nf)
+    shape3 = (B, n_atoms, 3)
+    return System(
+        h=feat_std * jax.random.normal(ks[0], shape2, dtype),
+        g=feat_std * jax.random.normal(ks[1], shape2, dtype),
+        pos=pos_std * jax.random.normal(ks[2], shape3, dtype),
+        vel=vel_std * jax.random.normal(ks[3], shape3, dtype),
+        mask=jnp.ones((B, n_atoms), bool),
+        box=jnp.full((B, 3), box, dtype),
+        r_cut=jnp.full((B,), r_cut, dtype),
+    )
+
+
+def flow_vi_loss(params, cfg: FlowConfig, base_batch: System,
+                 target_log_prob: Callable):
+    """Reverse-KL loss: ``-(ldj_R + log p(R(z))).mean()``.
+
+    ``target_log_prob`` maps a System batch to per-molecule ``[B]`` log
+    densities.
+    """
+    out, ldj = reverse_core(params, cfg, base_batch)
+    return -(ldj + target_log_prob(out)).mean(), out
+
+
+def make_system_target(log_prob_pos: Callable, kBT_aux: float = 1.0):
+    """Lift a positions-only target (e.g. ``targets.lj_cluster(...).log_prob``)
+    to a System target: Boltzmann on positions, unit Gaussians (scaled by
+    ``kBT_aux``) on velocities and features."""
+
+    def log_prob(sys_b: System):
+        lp = jax.vmap(log_prob_pos)(sys_b.pos)
+        am = sys_b.mask[..., None]
+        aux = 0.0
+        for f in (sys_b.vel, sys_b.h, sys_b.g):
+            aux = aux + jnp.where(am, f * f, 0.0).sum(axis=(1, 2))
+        return lp - 0.5 * aux / kBT_aux
+
+    return log_prob

@@ -42,6 +42,8 @@ from ..parallel.mesh import (get_mesh, maybe_initialize_distributed,
                              replicate, shard_batch)
 from ..utils import conversion as cv
 from ..utils.constants import sigma
+from ..utils.observe import (MetricsLogger, assert_all_finite, nan_guard,
+                             profile_trace)
 from .checkpoint import load_checkpoint, load_hparams, save_checkpoint
 
 
@@ -110,10 +112,12 @@ class Main:
             self.mode = "gen"
         elif mode == "dataset":
             self.mode = "data"
-        elif mode == "train":
-            self.mode = "train"
+        elif mode in ("train", "sample"):
+            self.mode = mode
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        self.objective = (args.get("training", {}).get("objective", "nll")
+                          if self.mode == "train" else None)
 
         self.dtype = _DTYPES[args.get("precision", "float32")]
         if self.dtype == jnp.float64:
@@ -147,8 +151,9 @@ class Main:
             self.n_iter = int(dyn["n_iter"])
             dt = cv.time_to_lj(float(dyn["dt"]), unit=args["units"]["time"])
             self.integrator = str(dyn["integrator"]).lower()
-            self.lj_kBT = cv.kelvin_to_lj(float(args["training"]["loss"]["temp"]))
-            self.softening = float(args["training"]["loss"]["softening"])
+            loss_sec = args.get("training", {}).get("loss", {})
+            self.lj_kBT = cv.kelvin_to_lj(float(loss_sec.get("temp", 300.0)))
+            self.softening = float(loss_sec.get("softening", 0.0))
             self.dequantizer = str(dyn.get("dequantizer", "argmax")).lower()
 
         if self.mode == "gen":
@@ -163,10 +168,13 @@ class Main:
             batch_size = 1
         elif self.mode == "train":
             batch_size = int(args["training"].get(
-                "batch_size", args["dataset"].get("batch_size", 1)))
+                "batch_size", args.get("dataset", {}).get("batch_size", 1)))
 
-        # dataset construction (+ compose, reference main.py:128-136)
-        if args["dataset"]["type"] == "compose":
+        # dataset construction (+ compose, reference main.py:128-136).
+        # flow-VI and sample modes are data-free.
+        if self.objective == "flow_vi" or self.mode == "sample":
+            self.dataset = None
+        elif args["dataset"]["type"] == "compose":
             n = int(args["dataset"]["number"])
             self.dataset = ComposeDatasets(
                 [self._setup_dataset(f"dataset{i+1}", args) for i in range(n)])
@@ -177,30 +185,38 @@ class Main:
             return
 
         if node_nf is None:
-            node_nf = self.dataset.node_nf
+            if self.dataset is not None:
+                node_nf = self.dataset.node_nf
+            else:
+                node_nf = int(dyn["network"]["node_nf"])
         self.node_nf = node_nf
 
         # mesh + loader: batch sharded over the data axis, per-process shard.
         # If batch_size does not divide across every device, fall back to the
         # largest device count that does (single-host only).
-        n_dev = len(jax.devices())
-        if batch_size % n_dev != 0:
-            usable = max(d for d in range(1, n_dev + 1)
-                         if batch_size % d == 0)
-            if self.num_processes > 1:
-                raise ValueError(
-                    f"batch_size={batch_size} must be divisible by the "
-                    f"device count ({n_dev}) in multi-host runs")
-            if self.is_main and self.mode == "train":
-                eprint(f"batch_size={batch_size} not divisible by {n_dev} "
-                       f"devices; using {usable}", flush=True)
-            self.mesh = get_mesh(devices=jax.devices()[:usable])
+        if self.dataset is not None:
+            n_dev = len(jax.devices())
+            if batch_size % n_dev != 0:
+                usable = max(d for d in range(1, n_dev + 1)
+                             if batch_size % d == 0)
+                if self.num_processes > 1:
+                    raise ValueError(
+                        f"batch_size={batch_size} must be divisible by the "
+                        f"device count ({n_dev}) in multi-host runs")
+                if self.is_main and self.mode == "train":
+                    eprint(f"batch_size={batch_size} not divisible by {n_dev} "
+                           f"devices; using {usable}", flush=True)
+                self.mesh = get_mesh(devices=jax.devices()[:usable])
+            else:
+                self.mesh = get_mesh()
+            self.train_loader = DataLoader(
+                self.dataset, batch_size=batch_size,
+                shuffle=(self.mode == "train"), seed=self.seed,
+                dtype=self.dtype,
+                shard=(self.num_processes, self.process_index))
         else:
             self.mesh = get_mesh()
-        self.train_loader = DataLoader(
-            self.dataset, batch_size=batch_size,
-            shuffle=(self.mode == "train"), seed=self.seed, dtype=self.dtype,
-            shard=(self.num_processes, self.process_index))
+            self.train_loader = None
 
         # flow model
         self.flow_cfg = FlowConfig(
@@ -227,10 +243,23 @@ class Main:
             else:
                 schedule = lr
             self._schedule = schedule
-            self.optimizer = optax.adam(schedule)
+            # gradient clipping (defaults on for flow-VI, where untrained
+            # samples can hit extreme target energies)
+            default_clip = 10.0 if self.objective == "flow_vi" else None
+            clip = tr.get("grad_clip", default_clip)
+            if clip:
+                self.optimizer = optax.chain(
+                    optax.clip_by_global_norm(float(clip)),
+                    optax.adam(schedule))
+            else:
+                self.optimizer = optax.adam(schedule)
             self.opt_state = self.optimizer.init(self.params)
             self.log_interval = int(tr["log_interval"])
             self.num_epochs = int(tr["num_epochs"])
+            # observability (no reference equivalent; SURVEY §5 prescription)
+            self.metrics = MetricsLogger(tr.get("metrics_csv"))
+            self.profile_dir = tr.get("profile_dir")
+            self.nan_checks = bool(args.get("debug", {}).get("nan_checks"))
             if self.is_main:
                 eprint(f"Loss function parameters: softening={self.softening},"
                        f" kBT={self.lj_kBT}", flush=True)
@@ -300,7 +329,99 @@ class Main:
                         {"params": self.params, "opt_state": self.opt_state},
                         hparams)
 
+    def _build_pos_target(self, section):
+        """Build a positions-only Boltzmann target from a config section."""
+        from ..sample import targets as T
+
+        ttype = section.get("type", "lj_cluster")
+        n_atoms = int(section.get("n_atoms", 13))
+        if "kBT" in section:
+            kBT = float(section["kBT"])
+        else:
+            kBT = cv.kelvin_to_lj(float(section.get("temp", 300.0)))
+        if ttype == "lj_cluster":
+            e_cap = section.get("e_cap")
+            t = T.lj_cluster(n_atoms, kBT=kBT,
+                             c_osc=float(section.get("c_osc", 0.5)),
+                             softening=float(section.get("softening", 0.0)),
+                             e_cap=None if e_cap is None else float(e_cap))
+        elif ttype == "double_well":
+            t = T.double_well(n_atoms, dim=3, kBT=kBT)
+        elif ttype == "gaussian":
+            t = T.gaussian((n_atoms, 3), std=float(section.get("std", 1.0)))
+        else:
+            raise ValueError(f"unknown target type {ttype!r}")
+        return t, n_atoms
+
     def train(self):
+        if self.objective == "flow_vi":
+            self._train_vi()
+        else:
+            self._train_nll()
+
+    def _train_vi(self):
+        """Data-free flow-VI training against a Boltzmann target
+        (north-star; see sample/vi.py)."""
+        from ..sample.vi import flow_vi_loss, make_system_target, sample_base
+
+        tr = self.args["training"]
+        tgt_sec = tr["target"]
+        target, n_atoms = self._build_pos_target(tgt_sec)
+        sys_target = make_system_target(
+            target.log_prob, kBT_aux=float(tgt_sec.get("kBT_aux", 1.0)))
+        n_particles = int(tr.get("n_particles", 256))
+        steps_per_epoch = int(tr.get("steps_per_epoch", 100))
+        base_sec = tr.get("base", {})
+        box = float(tgt_sec.get("box", 1e3))
+        r_cut = float(tgt_sec.get("r_cut", 1e2))
+
+        cfg, optimizer = self.flow_cfg, self.optimizer
+
+        @jax.jit
+        def vi_step(params, opt_state, key):
+            batch = sample_base(
+                key, n_particles, n_atoms, self.node_nf, box=box, r_cut=r_cut,
+                pos_std=float(base_sec.get("pos_std", 1.0)),
+                vel_std=float(base_sec.get("vel_std", 1.0)),
+                feat_std=float(base_sec.get("feat_std", 1.0)),
+                dtype=self.dtype)
+
+            def loss_fn(p):
+                loss, _ = flow_vi_loss(p, cfg, batch, sys_target)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        if self.is_main:
+            print('Epoch \tVI Loss \t   Time (s)', flush=True)
+        params, opt_state = self.params, self.opt_state
+        key = jax.random.PRNGKey(self.seed + 23)
+        for epoch in range(self.start_epoch, self.start_epoch + self.num_epochs):
+            start_time = time.time()
+            losses = []
+            for _ in range(steps_per_epoch):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = vi_step(params, opt_state, sub)
+                losses.append(loss)
+            losses = jax.device_get(jnp.stack(losses))
+            self.params, self.opt_state = params, opt_state
+            if self.is_main and self.checkpoint_path:
+                jax.block_until_ready(params)
+                self._save(epoch)
+            end_time = time.time()
+            epoch_loss = float(losses.mean())
+            if self.is_main and epoch % self.log_interval == 0:
+                print('%.5i \t    %.2f \t    %.2f \t    %.2e'
+                      % (epoch, epoch_loss, end_time - start_time,
+                         self._current_lr()), flush=True)
+            self.metrics.log(epoch=epoch, loss=epoch_loss,
+                             epoch_seconds=end_time - start_time,
+                             lr=self._current_lr(), batches=steps_per_epoch)
+        self.metrics.close()
+
+    def _train_nll(self):
         if self.is_main:
             print('Epoch \tTraining Loss \t   Time (s)', flush=True)
         train_step = self._make_train_step()
@@ -314,19 +435,26 @@ class Main:
                 eprint(f"###### Starting epoch {epoch} ######", flush=True)
             start_time = time.time()
 
-            losses = []
-            for i, batch in enumerate(self.train_loader):
-                batch = shard_batch(batch, self.mesh)
-                key, sub = jax.random.split(key)
-                params, opt_state, loss = train_step(params, opt_state,
-                                                     batch, sub)
-                losses.append(loss)
-            losses = jax.device_get(jnp.stack(losses))
+            # profile the second epoch of this run (the first one compiles)
+            do_profile = (self.profile_dir
+                          and epoch == self.start_epoch + 1 and self.is_main)
+            with profile_trace(self.profile_dir if do_profile else None), \
+                    nan_guard(self.nan_checks):
+                losses = []
+                for i, batch in enumerate(self.train_loader):
+                    batch = shard_batch(batch, self.mesh)
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss = train_step(params, opt_state,
+                                                         batch, sub)
+                    losses.append(loss)
+                losses = jax.device_get(jnp.stack(losses))
             epoch_loss = float(losses.mean())
             # (single explicit value; with sharded batches the loss is already
             # the global mean — no all_reduce needed, cf. main.py:232-233)
 
             self.params, self.opt_state = params, opt_state
+            if self.nan_checks:
+                assert_all_finite(losses, "epoch losses")
             if self.is_main and self.checkpoint_path:
                 jax.block_until_ready(params)
                 self._save(epoch)
@@ -337,8 +465,13 @@ class Main:
                 print('%.5i \t    %.2f \t    %.2f \t    %.2e'
                       % (epoch, epoch_loss, end_time - start_time,
                          self._current_lr()), flush=True)
+            self.metrics.log(epoch=epoch, loss=epoch_loss,
+                             epoch_seconds=end_time - start_time,
+                             lr=self._current_lr(),
+                             batches=len(self.train_loader))
             if self.is_main:
                 eprint(f"###### Ending epoch {epoch} ###### ", flush=True)
+        self.metrics.close()
 
     # ------------------------------------------------------------------
     # generate
@@ -372,6 +505,93 @@ class Main:
         return out
 
     # ------------------------------------------------------------------
+    # sample: flow-proposal SMC / AIS over a Boltzmann target
+    # ------------------------------------------------------------------
+
+    def sample(self):
+        """Run flow-proposal SMC/AIS (north-star sampling mode; no reference
+        equivalent). Writes an npz with particles + weights and prints a
+        one-line summary."""
+        from ..data.system import System
+        from ..flow.integrators import forward_core, reverse_core
+        from ..sample import ais as ais_fn
+        from ..sample import smc as smc_fn
+        from ..sample.smc import ess_from_log_weights
+
+        sec = self.args["sampling"]
+        target, n_atoms = self._build_pos_target(sec["target"])
+        P = int(sec.get("n_particles", 1024))
+        box = float(sec["target"].get("box", 1e3))
+        r_cut = float(sec["target"].get("r_cut", 1e2))
+        params, cfg, dtype = self.params, self.flow_cfg, self.dtype
+        node_nf = self.node_nf
+        mask = jnp.ones((1, n_atoms), bool)
+        boxa = jnp.full((1, 3), box, dtype)
+        r_cuta = jnp.full((1,), r_cut, dtype)
+
+        def to_system(x):
+            return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                          vel=x["vel"][None], mask=mask, box=boxa,
+                          r_cut=r_cuta)
+
+        def gauss_aux(sys_b):
+            tot = 0.0
+            for f in (sys_b.h, sys_b.g, sys_b.vel):
+                tot = tot + (f * f).sum()
+            return -0.5 * tot
+
+        def log_q0(x):
+            out, ldj = forward_core(params, cfg, to_system(x))
+            return gauss_aux(out) - 0.5 * (out.pos ** 2).sum() + ldj[0]
+
+        def log_p(x):
+            return target.log_prob(x["pos"]) + gauss_aux(to_system(x))
+
+        def propose(key):
+            ks = jax.random.split(key, 4)
+            z = {"h": jax.random.normal(ks[0], (P, n_atoms, node_nf), dtype),
+                 "g": jax.random.normal(ks[1], (P, n_atoms, node_nf), dtype),
+                 "pos": jax.random.normal(ks[2], (P, n_atoms, 3), dtype),
+                 "vel": jax.random.normal(ks[3], (P, n_atoms, 3), dtype)}
+
+            def rev_one(zz):
+                s, _ = reverse_core(params, cfg, to_system(zz))
+                return {"h": s.h[0], "g": s.g[0], "pos": s.pos[0],
+                        "vel": s.vel[0]}
+
+            return jax.vmap(rev_one)(z)
+
+        algo = smc_fn if sec.get("algo", "smc") == "smc" else ais_fn
+
+        @jax.jit
+        def run(key):
+            kp, ks = jax.random.split(key)
+            x0 = propose(kp)
+            return algo(ks, x0, log_q0=log_q0, log_p=log_p,
+                        n_temps=int(sec.get("n_temps", 10)),
+                        mcmc_steps=int(sec.get("mcmc_steps", 1)),
+                        step_size=float(sec.get("step_size", 0.02)),
+                        n_leapfrog=int(sec.get("n_leapfrog", 5)))
+
+        res = run(jax.random.PRNGKey(self.seed + 31))
+        jax.block_until_ready(res.particles)
+        ess = float(ess_from_log_weights(res.log_weights))
+        out_path = sec.get("output", "samples.npz")
+        np.savez(out_path,
+                 pos=np.asarray(res.particles["pos"]),
+                 vel=np.asarray(res.particles["vel"]),
+                 h=np.asarray(res.particles["h"]),
+                 g=np.asarray(res.particles["g"]),
+                 log_weights=np.asarray(res.log_weights),
+                 log_Z=np.asarray(res.log_Z),
+                 ess_history=np.asarray(res.ess_history))
+        if self.is_main:
+            print(f"sampled {P} particles -> {out_path}  "
+                  f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
+                  f"accept={float(res.accept_history[-1]):.2f}", flush=True)
+        return res
+
+    # ------------------------------------------------------------------
 
     def __call__(self, input_path):
         self.setup(input_path)
@@ -379,3 +599,5 @@ class Main:
             self.train()
         elif self.mode == "gen":
             self.generate()
+        elif self.mode == "sample":
+            self.sample()
