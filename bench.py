@@ -35,14 +35,19 @@ N_LEAPFROG = 5
 KBT = 2.0
 
 
-def build(dtype=jnp.float32):
+def build(dtype=jnp.float32, compute_dtype="bfloat16"):
     from enflow_tpu.flow import FlowConfig, init_flow, forward_core, reverse_core
     from enflow_tpu.nn.egcl import EGCLConfig
     from enflow_tpu.data.system import System
     from enflow_tpu.sample import smc, targets
 
+    # cluster workload: static all-pairs adjacency (no distance tests) and
+    # bf16 message-passing internals (exactness of the flow inverse is
+    # precision-independent; see nn/egcl.py)
     cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
-                     egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN))
+                     egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
+                                     compute_dtype=compute_dtype),
+                     nbr_mode="all_pairs")
     params = init_flow(jax.random.PRNGKey(0), cfg, dtype)
 
     box = jnp.full((1, 3), 1e3, dtype)       # cluster: effectively no PBC
@@ -119,7 +124,9 @@ def main():
     cpu = jax.devices("cpu")
     if cpu and dev.platform != "cpu":
         with jax.default_device(cpu[0]):
-            cpu_rate, _, _, _ = timed_rate(build(), P_CPU, repeats=1)
+            # fair baseline: f32 on CPU (bf16 is emulated and slow there)
+            cpu_rate, _, _, _ = timed_rate(build(compute_dtype=None), P_CPU,
+                                           repeats=1)
         vs_baseline = tpu_rate / cpu_rate
     else:
         vs_baseline = 1.0

@@ -118,6 +118,39 @@ def neighbor_overflow(pos, box, mask, r_cut, capacity: int):
     return (valid.sum(axis=-1) > capacity).any()
 
 
+def all_pairs(mask) -> Neighbors:
+    """Static all-pairs adjacency: every real atom neighbors every other.
+
+    For cluster targets (huge box, r_cut beyond the system size — the LJ13
+    flow-SMC workload) the distance test always passes, so the dense
+    neighbor list's min-image + compare pipeline is pure overhead (~40% of a
+    flow step at [1024, 13] on v5e). This variant does no arithmetic at all.
+    """
+    B, N = mask.shape
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, None, :],
+                           (B, N, N))
+    eye = jnp.eye(N, dtype=bool)
+    m = mask[:, :, None] & mask[:, None, :] & ~eye[None]
+    return Neighbors(idx=idx, mask=m)
+
+
+def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
+                         mode: str = "dense"):
+    """Build neighbors and min-image displacements with one shared diff
+    computation (the split API computes the ``[B,N,K,3]`` diff twice).
+
+    ``mode``: 'dense'/'topk' follow :func:`neighbor_list`; 'all_pairs' skips
+    the distance test entirely (see :func:`all_pairs`).
+    """
+    if mode == "all_pairs":
+        nbrs = all_pairs(mask)
+        diff = pos[:, :, None, :] - pos[:, None, :, :]
+        diff = min_image(diff, box[:, None, None, :])
+        return nbrs, jnp.where(nbrs.mask[..., None], diff, 0.0)
+    nbrs = neighbor_list(pos, box, mask, r_cut, capacity)
+    return nbrs, coord_diffs(pos, box, nbrs)
+
+
 def coord_diffs(pos, box, nbrs: Neighbors):
     """Min-image displacement vectors for each (atom, neighbor-slot) pair.
 

@@ -46,7 +46,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.neighbors import neighbor_list, coord_diffs
+from ..data.neighbors import neighbors_with_diffs
 from ..data.system import System
 from ..nn import argmax as argmax_deq
 from ..nn import floor as floor_deq
@@ -63,6 +63,7 @@ class FlowConfig:
     integrator: str = "lf"          # 'lf' | 'vv'
     dequantizer: str = "argmax"     # 'argmax' | 'floor'
     nbr_capacity: Optional[int] = None
+    nbr_mode: str = "dense"         # 'dense' | 'all_pairs' (cluster targets)
     exact_ldj: bool = False
     dequant_scale: float = 1.0      # Floor dequantizer noise scale
 
@@ -108,9 +109,8 @@ def _dequant_reverse(cfg, h, mask):
 
 def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
     """Evaluate one EGCL on current state, rebuilding the neighbor list."""
-    nbrs = neighbor_list(sys.pos, sys.box, sys.mask, sys.r_cut,
-                         cfg.nbr_capacity)
-    cd = coord_diffs(sys.pos, sys.box, nbrs)
+    nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
+                                    cfg.nbr_capacity, cfg.nbr_mode)
     return apply_egcl(net_params, cfg.egcl, sys.h, cd, nbrs.idx, nbrs.mask,
                       sys.mask)
 

@@ -40,6 +40,13 @@ class EGCLConfig:
     attention: bool = False
     norm_diff: bool = False
     tanh: bool = False
+    # Optional reduced-precision compute for the message-passing internals
+    # (e.g. 'bfloat16'): halves HBM traffic of the [B,N,K,hidden] edge
+    # tensors and doubles MXU rate; outputs are cast back to the input
+    # dtype. Flow invertibility is unaffected — forward and reverse evaluate
+    # the identical network at identical states, so the values cancel
+    # exactly whatever the internal precision.
+    compute_dtype: str | None = None
 
     @property
     def edge_in(self) -> int:
@@ -88,6 +95,12 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
       ``(Q [B,N,1], F [B,N,3], G [B,N,nf])``, all zeroed on padded atoms.
     """
     am = atom_mask[..., None]
+    in_dtype = h.dtype
+    if cfg.compute_dtype is not None:
+        cdt = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
+        h = h.astype(cdt)
+        coord_diff = coord_diff.astype(cdt)
     radial = (coord_diff * coord_diff).sum(-1, keepdims=True)  # [B,N,K,1]
 
     if cfg.norm_diff:
@@ -123,4 +136,7 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
     Q = apply_mlp(params["vel_scaling_nn"], h)                  # [B,N,1]
     Q = jnp.where(am, Q, 0.0)
 
+    if cfg.compute_dtype is not None:
+        Q, F, G = (Q.astype(in_dtype), F.astype(in_dtype),
+                   G.astype(in_dtype))
     return Q, F, G

@@ -34,23 +34,31 @@ def _tree_axpy(alpha, x, y):
 
 
 def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
-               grad_log_prob: Callable | None = None):
-    """One HMC step for a single chain. Returns ``(x', accepted, log_prob')``."""
+               grad_log_prob: Callable | None = None, log_prob_x=None):
+    """One HMC step for a single chain. Returns ``(x', accepted, log_prob')``.
+
+    The shared force between adjacent leapfrog steps is computed once
+    (``n_leapfrog + 1`` gradient evaluations, not ``2 * n_leapfrog``) — for
+    flow-proposal targets each gradient is a full flow fwd+bwd, so this is
+    the SMC hot path. ``log_prob_x`` (optional) skips recomputing the
+    current state's log density when the caller already has it.
+    """
     glp = grad_log_prob or jax.grad(log_prob)
     kmom, kacc = jax.random.split(key)
     p0 = _tree_randn_like(kmom, x)
 
     def leapfrog(carry, _):
-        q, p = carry
-        p = _tree_axpy(0.5 * step_size, glp(q), p)
+        q, p, g = carry
+        p = _tree_axpy(0.5 * step_size, g, p)
         q = _tree_axpy(step_size, p, q)
-        p = _tree_axpy(0.5 * step_size, glp(q), p)
-        return (q, p), None
+        g = glp(q)
+        p = _tree_axpy(0.5 * step_size, g, p)
+        return (q, p, g), None
 
-    (q_new, p_new), _ = jax.lax.scan(leapfrog, (x, p0), None,
-                                     length=n_leapfrog)
+    (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (x, p0, glp(x)), None,
+                                        length=n_leapfrog)
 
-    lp0 = log_prob(x)
+    lp0 = log_prob(x) if log_prob_x is None else log_prob_x
     lp1 = log_prob(q_new)
     h0 = -lp0 + 0.5 * _tree_dot(p0, p0)
     h1 = -lp1 + 0.5 * _tree_dot(p_new, p_new)

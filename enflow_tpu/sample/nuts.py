@@ -42,11 +42,14 @@ class _TreeState(NamedTuple):
     diverging: jax.Array
 
 
-def _leapfrog(glp, q, p, eps):
-    p = p + 0.5 * eps * glp(q)
+def _leapfrog(glp, q, p, eps, g):
+    """One leapfrog step with the incoming force ``g = glp(q)`` cached
+    (adjacent steps share the endpoint force: n+1 gradient evals, not 2n)."""
+    p = p + 0.5 * eps * g
     q = q + eps * p
-    p = p + 0.5 * eps * glp(q)
-    return q, p
+    g = glp(q)
+    p = p + 0.5 * eps * g
+    return q, p, g
 
 
 def _uturn(p_sum, p_first, p_last):
@@ -92,7 +95,7 @@ def _build_subtree(key, glp, log_prob, q0, p0, h0, eps, direction, depth,
     init = dict(
         i=jnp.asarray(0, jnp.int32),
         # simulate in a direction-local frame: momentum flipped for leftward
-        q=q0, p=direction * p0,
+        q=q0, p=direction * p0, g=glp(q0),
         tree=_TreeState(q_left=q0, p_left=p0, q_right=q0, p_right=p0,
                         q_prop=q0, log_w=jnp.asarray(-jnp.inf, q0.dtype),
                         p_sum=jnp.zeros_like(p0),
@@ -109,7 +112,7 @@ def _build_subtree(key, glp, log_prob, q0, p0, h0, eps, direction, depth,
     def body(s):
         i = s["i"]
         key, k_acc = jax.random.split(s["key"])
-        q, p_sim = _leapfrog(glp, s["q"], s["p"], eps)
+        q, p_sim, g = _leapfrog(glp, s["q"], s["p"], eps, s["g"])
         p = direction * p_sim  # back to the global rightward convention
         h = -log_prob(q) + 0.5 * (p @ p)
         dh = h - h0
@@ -159,7 +162,7 @@ def _build_subtree(key, glp, log_prob, q0, p0, h0, eps, direction, depth,
             q_right=q, p_right=p,
             q_prop=q_prop, log_w=log_w_new, p_sum=p_sum,
             turning=turning, diverging=tree.diverging | diverging)
-        return dict(i=i + 1, q=q, p=p_sim, tree=tree, p_ckpt=p_ckpt,
+        return dict(i=i + 1, q=q, p=p_sim, g=g, tree=tree, p_ckpt=p_ckpt,
                     psum_ckpt=psum_ckpt, sp=sp, key=key)
 
     out = jax.lax.while_loop(cond, body, init)

@@ -90,38 +90,44 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
 
         # incremental weights: pi_beta / pi_beta_prev. log_w enters
         # normalized (logsumexp == 0), so the normalizer increment is
-        # log sum_i w_i * exp(inc_i).
+        # log sum_i w_i * exp(inc_i). The component evaluations are cached
+        # and re-combined for the tempered target value the HMC kernel needs.
         delta = beta - beta_prev
-        inc = delta * (lp(x) - lq0(x))
-        log_w = log_w + inc
+        lq0_x, lp_x = lq0(x), lp(x)
+        log_w = log_w + delta * (lp_x - lq0_x)
         lse = jax.scipy.special.logsumexp(log_w)
         log_z = log_z + lse
         log_w = log_w - lse
         ess = ess_from_log_weights(log_w)
 
-        # adaptive systematic resampling
+        # adaptive systematic resampling (cached log-densities gathered too)
         def do_resample(args):
-            x, log_w = args
+            x, log_w, lq0_x, lp_x = args
             idx = systematic_resample(k_res, log_w)
             x_r = jax.tree_util.tree_map(lambda a: a[idx], x)
-            return x_r, jnp.full_like(log_w, -jnp.log(P * 1.0))
+            return (x_r, jnp.full_like(log_w, -jnp.log(P * 1.0)),
+                    lq0_x[idx], lp_x[idx])
 
-        x, log_w = jax.lax.cond(ess < resample_threshold * P, do_resample,
-                                lambda a: a, (x, log_w))
+        x, log_w, lq0_x, lp_x = jax.lax.cond(
+            ess < resample_threshold * P, do_resample, lambda a: a,
+            (x, log_w, lq0_x, lp_x))
 
         # HMC rejuvenation targeting pi_beta
         target = _tempered(log_q0, log_p, beta)
-        kernel = jax.vmap(lambda kk, xx: hmc_kernel(kk, xx, target, step_size,
-                                                    n_leapfrog))
+        kernel = jax.vmap(
+            lambda kk, xx, lpx: hmc_kernel(kk, xx, target, step_size,
+                                           n_leapfrog, log_prob_x=lpx))
 
         def mcmc_sweep(i, xa):
-            x, acc = xa
+            x, acc, lp_comb = xa
             keys = jax.vmap(jax.random.fold_in, (0, None))(
                 jax.random.split(k_mcmc, P), i)
-            x, accepted, _ = kernel(keys, x)
-            return x, acc + accepted.mean()
+            x, accepted, lp_comb = kernel(keys, x, lp_comb)
+            return x, acc + accepted.mean(), lp_comb
 
-        x, acc = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep, (x, 0.0))
+        lp_comb0 = (1.0 - beta) * lq0_x + beta * lp_x
+        x, acc, _ = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep,
+                                      (x, 0.0, lp_comb0))
         return (x, log_w, log_z), (ess, acc / jnp.maximum(mcmc_steps, 1))
 
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
@@ -158,20 +164,24 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         x, log_w = carry
         beta, beta_prev, k = inputs
         delta = beta - beta_prev
-        log_w = log_w + delta * (lp(x) - lq0(x))
+        lq0_x, lp_x = lq0(x), lp(x)
+        log_w = log_w + delta * (lp_x - lq0_x)
 
         target = _tempered(log_q0, log_p, beta)
-        kernel = jax.vmap(lambda kk, xx: hmc_kernel(kk, xx, target, step_size,
-                                                    n_leapfrog))
+        kernel = jax.vmap(
+            lambda kk, xx, lpx: hmc_kernel(kk, xx, target, step_size,
+                                           n_leapfrog, log_prob_x=lpx))
 
         def mcmc_sweep(i, xa):
-            x, acc = xa
+            x, acc, lp_comb = xa
             keys = jax.vmap(jax.random.fold_in, (0, None))(
                 jax.random.split(k, P), i)
-            x, accepted, _ = kernel(keys, x)
-            return x, acc + accepted.mean()
+            x, accepted, lp_comb = kernel(keys, x, lp_comb)
+            return x, acc + accepted.mean(), lp_comb
 
-        x, acc = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep, (x, 0.0))
+        lp_comb0 = (1.0 - beta) * lq0_x + beta * lp_x
+        x, acc, _ = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep,
+                                      (x, 0.0, lp_comb0))
         ess = ess_from_log_weights(log_w)
         return (x, log_w), (ess, acc / jnp.maximum(mcmc_steps, 1))
 

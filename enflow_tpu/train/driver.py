@@ -221,10 +221,12 @@ class Main:
         # flow model
         self.flow_cfg = FlowConfig(
             n_iter=self.n_iter, dt=float(dt),
-            egcl=EGCLConfig(node_nf=node_nf, hidden_nf=self.hidden_nf),
+            egcl=EGCLConfig(node_nf=node_nf, hidden_nf=self.hidden_nf,
+                            compute_dtype=dyn.get("compute_dtype")),
             integrator=self.integrator,
             dequantizer=self.dequantizer,
             nbr_capacity=dyn.get("nbr_capacity"),
+            nbr_mode=dyn.get("nbr_mode", "dense"),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,

@@ -174,3 +174,39 @@ def test_flow_jit_topk_and_grad():
     assert np.isfinite(float(val))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_all_pairs_mode_matches_dense():
+    """With a huge box / cutoff the all_pairs neighbor mode is exactly the
+    dense mode (the cluster fast path used by bench/sampling)."""
+    rng = np.random.default_rng(11)
+    sys0 = make_onehot_system(rng, B=2, N=6, pad=[0, 2])  # cluster at origin
+    sys0 = sys0.replace(box=jnp.full((2, 3), 1e5, DTYPE),
+                        r_cut=jnp.full((2,), 1e4, DTYPE))
+    cfg_d = flow_cfg()
+    cfg_a = flow_cfg(nbr_mode="all_pairs")
+    params = init_flow(jax.random.PRNGKey(12), cfg_d, DTYPE)
+    key = jax.random.PRNGKey(13)
+    out_d, ldj_d = forward(params, cfg_d, sys0, key)
+    out_a, ldj_a = forward(params, cfg_a, sys0, key)
+    np.testing.assert_allclose(np.asarray(out_a.pos), np.asarray(out_d.pos),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ldj_a), np.asarray(ldj_d),
+                               rtol=1e-12)
+
+
+def test_bf16_compute_invertibility_exact():
+    """Reduced-precision EGCL internals must not break exact inversion:
+    forward and reverse evaluate identical values, whatever the precision."""
+    rng = np.random.default_rng(14)
+    sys0 = make_onehot_system(rng, B=2, N=5)
+    sys0 = sys0.astype(jnp.float32)
+    cfg = flow_cfg(egcl=EGCLConfig(node_nf=5, hidden_nf=16,
+                                   compute_dtype="bfloat16"),
+                   nbr_mode="all_pairs")
+    params = init_flow(jax.random.PRNGKey(15), cfg, jnp.float32)
+    out, ldj = forward(params, cfg, sys0, jax.random.PRNGKey(16))
+    back = reverse(params, cfg, out)
+    np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys0.pos),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(back.h), np.asarray(sys0.h), atol=0)
