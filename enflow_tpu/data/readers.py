@@ -168,9 +168,13 @@ class TRRDataset(BaseDataset):
 
     def _frames(self):
         if not hasattr(self, "_frame_cache"):
+            from .. import native
             self._frame_cache = []
             for path in _listify(self.input_params["traj_file"]):
-                self._frame_cache += formats.read_trr(path)
+                frames = native.read_trr(path) if native.available() else None
+                if frames is None:
+                    frames = formats.read_trr(path)
+                self._frame_cache += frames
         return self._frame_cache
 
     def _symbols(self, natoms):

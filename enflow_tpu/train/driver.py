@@ -218,6 +218,20 @@ class Main:
             self.mesh = get_mesh()
             self.train_loader = None
 
+        # neighbor capacity: explicit int, or "auto" -> size from the first
+        # sample via the native cell-list scan (enflow_tpu/native.py)
+        nbr_capacity = dyn.get("nbr_capacity")
+        if nbr_capacity == "auto":
+            if self.dataset is None or not len(self.dataset):
+                raise ValueError("nbr_capacity: auto requires a dataset")
+            from .. import native
+            s0 = self.dataset[0]
+            nbr_capacity = native.suggest_capacity(s0.pos, s0.box, s0.r_cut)
+            if self.is_main:
+                eprint(f"nbr_capacity: auto -> {nbr_capacity}", flush=True)
+        elif nbr_capacity is not None:
+            nbr_capacity = int(nbr_capacity)
+
         # flow model
         self.flow_cfg = FlowConfig(
             n_iter=self.n_iter, dt=float(dt),
@@ -225,7 +239,7 @@ class Main:
                             compute_dtype=dyn.get("compute_dtype")),
             integrator=self.integrator,
             dequantizer=self.dequantizer,
-            nbr_capacity=dyn.get("nbr_capacity"),
+            nbr_capacity=nbr_capacity,
             nbr_mode=dyn.get("nbr_mode", "dense"),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
         )
