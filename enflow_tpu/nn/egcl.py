@@ -47,6 +47,10 @@ class EGCLConfig:
     # the identical network at identical states, so the values cancel
     # exactly whatever the internal precision.
     compute_dtype: str | None = None
+    # Fuse the edge pipeline (edge MLP + gate + aggregations) into a Pallas
+    # TPU kernel (ops/edge_kernel.py): the [B,N,K,hidden] intermediates
+    # never touch HBM. Requires attention/norm_diff/tanh off (default path).
+    use_pallas: bool = False
 
     @property
     def edge_in(self) -> int:
@@ -110,6 +114,10 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
     h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)          # [B,N,K,nf]
     h_i = jnp.broadcast_to(h[:, :, None, :], h_j.shape)
     edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
+
+    if cfg.use_pallas and not (cfg.attention or cfg.norm_diff or cfg.tanh):
+        return _apply_egcl_fused(params, cfg, h, edge_in, coord_diff,
+                                 nbr_mask, am, in_dtype)
     m = apply_mlp(params["edge_nn"], edge_in, final_act=silu)   # [B,N,K,hidden]
     if cfg.attention:
         m = m * jax.nn.sigmoid(apply_linear(params["att_nn"], m))
@@ -134,6 +142,40 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
 
     # -- velocity log-scale (egcl.py:91) -----------------------------------
     Q = apply_mlp(params["vel_scaling_nn"], h)                  # [B,N,1]
+    Q = jnp.where(am, Q, 0.0)
+
+    if cfg.compute_dtype is not None:
+        Q, F, G = (Q.astype(in_dtype), F.astype(in_dtype),
+                   G.astype(in_dtype))
+    return Q, F, G
+
+
+def _apply_egcl_fused(params, cfg: EGCLConfig, h, edge_in, coord_diff,
+                      nbr_mask, am, in_dtype):
+    """EGCL tail using the fused Pallas edge pipeline (ops/edge_kernel.py)."""
+    from ..ops.edge_kernel import fused_edge_pipeline
+
+    B, N, K, C = edge_in.shape
+    A = B * N
+    emask = nbr_mask.reshape(A, K)
+    agg, f_sum = fused_edge_pipeline(
+        edge_in.reshape(A, K, C), coord_diff.reshape(A, K, 3),
+        emask,
+        params["edge_nn"][0]["w"], params["edge_nn"][0]["b"],
+        params["edge_nn"][1]["w"], params["edge_nn"][1]["b"],
+        params["coord_nn"][0]["w"], params["coord_nn"][0]["b"],
+        params["coord_nn"][1]["w"])
+    agg = agg.reshape(B, N, -1)
+    f_sum = f_sum.reshape(B, N, 3)
+
+    G = apply_mlp(params["node_nn"], jnp.concatenate([h, agg], axis=-1))
+    G = jnp.where(am, G, 0.0)
+
+    count = jnp.clip(nbr_mask.sum(axis=2, keepdims=True), 1, None)
+    F = f_sum / count.astype(f_sum.dtype)
+    F = jnp.where(am, F * cfg.coords_weight, 0.0)
+
+    Q = apply_mlp(params["vel_scaling_nn"], h)
     Q = jnp.where(am, Q, 0.0)
 
     if cfg.compute_dtype is not None:
