@@ -365,6 +365,19 @@ class Main:
             t = T.double_well(n_atoms, dim=3, kBT=kBT)
         elif ttype == "gaussian":
             t = T.gaussian((n_atoms, 3), std=float(section.get("std", 1.0)))
+        elif ttype == "forcefield":
+            # molecular force-field Boltzmann target (alanine-dipeptide
+            # class); parameters inline under 'params' or in 'params_file'
+            from ..sample.forcefield import ForceField, forcefield_target
+            if "params_file" in section:
+                with open(section["params_file"]) as f:
+                    pd = yaml.safe_load(f)
+            else:
+                pd = section["params"]
+            ff = ForceField.from_dict(
+                pd, ke=float(section.get("coulomb_const", 1.0)))
+            t = forcefield_target(ff, kBT=kBT)
+            n_atoms = ff.n_atoms
         else:
             raise ValueError(f"unknown target type {ttype!r}")
         return t, n_atoms

@@ -120,3 +120,26 @@ def test_sample_mode_untrained_flow(tmp_path, capsys):
     }
     run_main(tmp_path, cfg, "s2.yaml")
     assert os.path.exists(tmp_path / "s2.npz")
+
+
+def test_flow_vi_forcefield_target(tmp_path, capsys):
+    """VI against an inline force-field target through the driver."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    cfg["dynamics"]["checkpoint_path"] = str(tmp_path / "ff.cpt")
+    cfg["training"]["steps_per_epoch"] = 5
+    cfg["training"]["n_particles"] = 16
+    cfg["training"]["target"] = {
+        "type": "forcefield",
+        "kBT": 0.5,
+        "params": {
+            "atoms": [[1.0, 0.2, 0.0]] * 3,
+            "bonds": [[0, 1, 50.0, 1.5], [1, 2, 50.0, 1.5]],
+            "angles": [[0, 1, 2, 20.0, 1.911]],
+        },
+    }
+    run_main(tmp_path, cfg, "ff_vi.yaml")
+    out = capsys.readouterr().out
+    rows = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    assert len(rows) == 1
+    assert np.isfinite(float(rows[0].split()[1]))
+    assert os.path.exists(tmp_path / "ff.cpt")
