@@ -232,11 +232,21 @@ class Main:
         elif nbr_capacity is not None:
             nbr_capacity = int(nbr_capacity)
 
-        # flow model
+        # flow model. EGCL variant flags are YAML-reachable here (the
+        # reference defines attention/norm_diff/tanh but never wires them,
+        # egcl.py:11 vs main.py:151).
+        net_sec = dyn.get("network", {})
         self.flow_cfg = FlowConfig(
             n_iter=self.n_iter, dt=float(dt),
             egcl=EGCLConfig(node_nf=node_nf, hidden_nf=self.hidden_nf,
-                            compute_dtype=dyn.get("compute_dtype")),
+                            compute_dtype=dyn.get("compute_dtype"),
+                            attention=bool(net_sec.get("attention", False)),
+                            norm_diff=bool(net_sec.get("norm_diff", False)),
+                            tanh=bool(net_sec.get("tanh", False)),
+                            coords_weight=float(net_sec.get("coords_weight",
+                                                            1.0)),
+                            use_pallas=bool(net_sec.get("use_pallas",
+                                                        False))),
             integrator=self.integrator,
             dequantizer=self.dequantizer,
             nbr_capacity=nbr_capacity,

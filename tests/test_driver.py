@@ -180,3 +180,36 @@ def test_scheduler_decays_lr(tmp_path, capsys):
     lrs = [float(l.split()[3]) for l in rows]
     # 3 batches/epoch, step decay every 2 optimizer steps
     assert lrs[-1] < lrs[0] <= 1e-3
+
+
+def test_compose_datasets_via_yaml(tmp_path):
+    """Reference compose mode (main.py:128-134, with its broken import
+    fixed): type: compose + number + dataset1..K sections."""
+    xyz1 = str(tmp_path / "a.xyz")
+    xyz2 = str(tmp_path / "b.xyz")
+    write_xyz_dataset(xyz1, n_frames=4)
+    write_xyz_dataset(xyz2, n_frames=3, seed=7)
+    cfg = base_config(tmp_path, xyz1)
+    cfg["dynamics"]["checkpoint_path"] = str(tmp_path / "c.cpt")
+    cfg["training"]["num_epochs"] = 1
+    sub = dict(cfg["dataset"])
+    cfg["dataset"] = {"type": "compose", "number": 2}
+    cfg["dataset1"] = dict(sub)
+    cfg["dataset2"] = dict(sub, raw_file=xyz2)
+    m = run_main(tmp_path, cfg, "compose.yaml")
+    assert len(m.dataset) == 7
+    assert os.path.exists(cfg["dynamics"]["checkpoint_path"])
+
+
+def test_largemd_lazy_dataset(tmp_path):
+    """LargeMDDataset parses one frame per access (reference md.py:7-23)."""
+    from enflow_tpu.data.readers import LargeMDDataset
+
+    xyz = str(tmp_path / "t.xyz")
+    write_xyz_dataset(xyz, n_frames=5, n_atoms=3)
+    d = LargeMDDataset(traj_file=xyz, top_file=xyz, r_cut=5.0,
+                       box=[10.0, 10.0, 10.0])
+    assert len(d) == 5
+    s = d[2]
+    assert s.num_atoms == 3
+    assert s.h.shape[1] == 5
