@@ -66,6 +66,11 @@ class FlowConfig:
     nbr_mode: str = "dense"         # 'dense' | 'all_pairs' (cluster targets)
     exact_ldj: bool = False
     dequant_scale: float = 1.0      # Floor dequantizer noise scale
+    # Rematerialize each flow step under autodiff (jax.checkpoint on the
+    # scan body): backward recomputes the [B,N,K,hidden] edge tensors
+    # instead of storing them per step — required for large-N systems
+    # (LJ55-class HMC through the flow OOMs 16 GB HBM without it).
+    remat: bool = False
 
     @property
     def num_networks(self) -> int:
@@ -112,12 +117,16 @@ def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
     nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
                                     cfg.nbr_capacity, cfg.nbr_mode)
     return apply_egcl(net_params, cfg.egcl, sys.h, cd, nbrs.idx, nbrs.mask,
-                      sys.mask)
+                      sys.mask, all_pairs=cfg.nbr_mode == "all_pairs")
 
 
 # ---------------------------------------------------------------------------
 # Leapfrog (reference LFIntegrator, dynamics.py:4-37)
 # ---------------------------------------------------------------------------
+
+def _maybe_remat(cfg, step):
+    return jax.checkpoint(step) if cfg.remat else step
+
 
 def _lf_forward(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
@@ -130,7 +139,8 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
         s = s.replace(h=s.h + s.g * dt)
         return s, cfg.ldj_factor * Q.sum(axis=(1, 2))
 
-    sys, ldj_steps = jax.lax.scan(step, sys, params["networks"])
+    sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
+                                  params["networks"])
     return sys, ldj_steps.sum(axis=0)
 
 
@@ -145,7 +155,8 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
         vel = (s.vel - F * dt) / jnp.exp(Q)
         return s.replace(g=g, vel=vel), -cfg.ldj_factor * Q.sum(axis=(1, 2))
 
-    sys, ldj_steps = jax.lax.scan(step, sys, params["networks"], reverse=True)
+    sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
+                                  params["networks"], reverse=True)
     return sys, ldj_steps.sum(axis=0)
 
 
@@ -179,7 +190,8 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         ldj = ldj + cfg.ldj_factor * 0.5 * Q2.sum(axis=(1, 2))
         return (s, (Q2, F2, G2)), ldj
 
-    (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG0), rest)
+    (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), (sys, QFG0),
+                                       rest)
     return sys, ldj_steps.sum(axis=0)
 
 

@@ -84,7 +84,7 @@ def init_egcl(key, cfg: EGCLConfig, dtype=jnp.float32):
 
 
 def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
-               atom_mask):
+               atom_mask, all_pairs: bool = False):
     """Apply one EGCL.
 
     Args:
@@ -94,6 +94,8 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
       nbr_idx:    ``[B, N, K]`` neighbor indices.
       nbr_mask:   ``[B, N, K]`` valid-neighbor mask.
       atom_mask:  ``[B, N]`` real-atom mask.
+      all_pairs:  static hint that ``nbr_idx[b,i,k] == k`` (K == N), so the
+                  neighbor-feature lookup is a broadcast, not a gather.
 
     Returns:
       ``(Q [B,N,1], F [B,N,3], G [B,N,nf])``, all zeroed on padded atoms.
@@ -111,7 +113,11 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
         coord_diff = coord_diff / (jnp.sqrt(radial) + 1.0)
 
     # -- edge model (reference egcl.py:57-63) ------------------------------
-    h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)          # [B,N,K,nf]
+    if all_pairs:
+        B, N, nf = h.shape
+        h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, nf))
+    else:
+        h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)      # [B,N,K,nf]
     h_i = jnp.broadcast_to(h[:, :, None, :], h_j.shape)
     edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
 

@@ -252,6 +252,7 @@ class Main:
             nbr_capacity=nbr_capacity,
             nbr_mode=dyn.get("nbr_mode", "dense"),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
+            remat=bool(dyn.get("remat", False)),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)

@@ -210,3 +210,24 @@ def test_bf16_compute_invertibility_exact():
     np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys0.pos),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(back.h), np.asarray(sys0.h), atol=0)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint on the scan body changes memory, not values or grads."""
+    rng = np.random.default_rng(20)
+    sys0 = make_onehot_system(rng, B=2, N=5)
+    cfg_a = flow_cfg()
+    cfg_b = flow_cfg(remat=True)
+    params = init_flow(jax.random.PRNGKey(21), cfg_a, DTYPE)
+    key = jax.random.PRNGKey(22)
+
+    def loss(params, cfg):
+        out, ldj = forward(params, cfg, sys0, key)
+        return alchemical_nll(out, ldj, 0.62, 0.1)
+
+    va, ga = jax.value_and_grad(loss)(params, cfg_a)
+    vb, gb = jax.value_and_grad(loss)(params, cfg_b)
+    assert float(va) == pytest.approx(float(vb), rel=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
