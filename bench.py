@@ -110,7 +110,10 @@ def timed_rate(run, P, repeats=3):
     jax.block_until_ready(res.particles)
     dt = (time.perf_counter() - t0) / repeats
     # ESS at the final temperature *before* its resampling step (post-
-    # resampling weights are trivially uniform)
+    # resampling weights are trivially uniform). The adaptive schedule must
+    # actually reach beta=1 for the metric to be meaningful.
+    assert float(res.beta_history[-1]) > 1.0 - 1e-5, (
+        f"anneal incomplete: beta={float(res.beta_history[-1]):.3f}")
     ess = float(res.ess_history[-1])
     return P / dt, ess / dt, float(res.log_Z), dt
 

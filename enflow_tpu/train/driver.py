@@ -603,6 +603,12 @@ class Main:
 
         algo = smc_fn if sec.get("algo", "smc") == "smc" else ais_fn
 
+        extra = {}
+        if sec.get("algo", "smc") == "smc":
+            extra = dict(adaptive=bool(sec.get("adaptive", False)),
+                         target_ess_frac=float(sec.get("target_ess_frac",
+                                                       0.6)))
+
         @jax.jit
         def run(key):
             kp, ks = jax.random.split(key)
@@ -611,7 +617,7 @@ class Main:
                         n_temps=int(sec.get("n_temps", 10)),
                         mcmc_steps=int(sec.get("mcmc_steps", 1)),
                         step_size=float(sec.get("step_size", 0.02)),
-                        n_leapfrog=int(sec.get("n_leapfrog", 5)))
+                        n_leapfrog=int(sec.get("n_leapfrog", 5)), **extra)
 
         res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.particles)

@@ -123,3 +123,23 @@ def test_flow_reverse_core_ldj_consistency():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys0.pos),
                                atol=1e-9)
+
+
+def test_adaptive_tempering_logz_and_schedule():
+    """Adaptive beta selection reaches beta=1 and keeps the logZ estimate."""
+    d, P = 3, 512
+    log_q0 = lambda x: -0.5 * (x**2).sum()
+    log_p = lambda x: -0.5 * (x**2).sum() / 0.25
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (P, d), DTYPE)
+    res = smc(jax.random.PRNGKey(21), x0, log_q0=log_q0, log_p=log_p,
+              n_temps=15, adaptive=True, target_ess_frac=0.6,
+              mcmc_steps=2, step_size=0.3, n_leapfrog=5)
+    betas = np.asarray(res.beta_history)
+    assert (np.diff(betas) >= -1e-12).all()          # monotone
+    assert betas[-1] == pytest.approx(1.0, abs=1e-6)  # reaches the target
+    expect = d * np.log(0.5)
+    assert float(res.log_Z) == pytest.approx(expect, abs=0.1)
+    # the adaptive schedule keeps per-step ESS near the target until beta=1
+    active = betas < 1.0 - 1e-9
+    if active[:-1].any():
+        assert np.asarray(res.ess_history)[1:][active[:-1]].min() > 0.4 * P

@@ -78,6 +78,8 @@ def test_sample_mode_smc(tmp_path, capsys):
         "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
         "sampling": {
             "algo": "smc",
+            "adaptive": True,
+            "target_ess_frac": 0.5,
             "n_particles": 32,
             "n_temps": 4,
             "mcmc_steps": 1,
