@@ -143,3 +143,55 @@ def test_adaptive_tempering_logz_and_schedule():
     active = betas < 1.0 - 1e-9
     if active[:-1].any():
         assert np.asarray(res.ess_history)[1:][active[:-1]].min() > 0.4 * P
+
+
+def test_smc_moments_match_hmc_ground_truth():
+    """Posterior-moment parity (the BASELINE quality criterion): SMC and
+    long-run HMC must agree on energy and radius-of-gyration moments within
+    Monte-Carlo error on a small LJ cluster."""
+    from enflow_tpu.sim import lj_energy
+
+    t = targets.lj_cluster(6, kBT=2.0)
+    n = 6
+
+    # ground truth: HMC
+    from enflow_tpu.sim import minimize_fire
+
+    raw = 1.2 * jax.random.normal(jax.random.PRNGKey(30), (32, n, 3), DTYPE)
+    # relax overlapped random inits so no chain starts inside the LJ wall
+    x0 = jax.vmap(lambda p: minimize_fire(
+        p, lambda q: -t.log_prob(q), n_steps=200))(raw).reshape(32, -1)
+    lp_flat = lambda q: t.log_prob(q.reshape(n, 3))
+    eps, x0 = dual_averaging_warmup(jax.random.PRNGKey(34), x0, lp_flat,
+                                    n_adapt=150, n_leapfrog=10,
+                                    init_step_size=0.05)
+    hmc = run_hmc(jax.random.PRNGKey(31), x0, lp_flat,
+                  n_samples=600, n_warmup=100, step_size=eps, n_leapfrog=10)
+    assert float(hmc.accept_rate) > 0.5
+    hmc_pos = np.asarray(hmc.samples).reshape(-1, n, 3)[::3]
+
+    # SMC from a Gaussian proposal
+    P = 512
+    xs = 1.2 * jax.random.normal(jax.random.PRNGKey(32), (P, n, 3), DTYPE)
+    log_q0 = lambda x: -0.5 * (x**2).sum() / 1.44
+    res = smc(jax.random.PRNGKey(33), xs, log_q0=log_q0, log_p=t.log_prob,
+              n_temps=12, adaptive=True, mcmc_steps=2, step_size=0.05,
+              n_leapfrog=5)
+    assert float(res.beta_history[-1]) > 1 - 1e-6
+    w = np.exp(np.asarray(res.log_weights))
+    w /= w.sum()
+    smc_pos = np.asarray(res.particles)
+
+    def stats(pos, w=None):
+        e = np.asarray(jax.vmap(lambda x: lj_energy(x))(jnp.asarray(pos)))
+        com = pos.mean(axis=1, keepdims=True)
+        rg = np.sqrt(((pos - com)**2).sum(-1).mean(-1))
+        if w is None:
+            w = np.ones(len(pos)) / len(pos)
+        return ((w * e).sum(), (w * rg).sum())
+
+    he, hr = stats(hmc_pos)
+    se, sr = stats(smc_pos, w)
+    # loose MC-error tolerances for CI scale
+    assert se == pytest.approx(he, abs=1.5)
+    assert sr == pytest.approx(hr, rel=0.08)
