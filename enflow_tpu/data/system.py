@@ -81,6 +81,15 @@ class System:
     def replace(self, **kwargs) -> "System":
         return dataclasses.replace(self, **kwargs)
 
+    def get_mol(self, i) -> "System":
+        """Slice out molecule ``i`` as a ``B=1`` System (the reference's
+        ``Data.get_mol``, base.py:34-50 — here a zero-copy padded view; use
+        ``atoms_per_mol`` to trim padding host-side if needed)."""
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i, 1, axis=0)
+        return System(h=sl(self.h), g=sl(self.g), pos=sl(self.pos),
+                      vel=sl(self.vel), mask=sl(self.mask),
+                      box=sl(self.box), r_cut=sl(self.r_cut))
+
     def pbc(self) -> "System":
         """Wrap positions into the primary image (reference ``base.py:119-120``).
 

@@ -159,3 +159,22 @@ def test_system_is_pytree():
     assert len(leaves) == 7
     s2 = jax.tree_util.tree_map(lambda x: x, s)
     assert isinstance(s2, System)
+
+
+def test_get_mol():
+    rng = np.random.default_rng(9)
+    s = make_system(rng)
+    m1 = s.get_mol(1)
+    assert m1.num_mols == 1
+    np.testing.assert_array_equal(np.asarray(m1.pos[0]), np.asarray(s.pos[1]))
+    assert int(m1.num_atoms) == int(s.atoms_per_mol[1])
+
+    # works under jit/vmap (traced index)
+    import jax
+
+    def f(i):
+        return s.get_mol(i).pos.sum()
+
+    vals = jax.vmap(f)(jnp.arange(s.num_mols))
+    np.testing.assert_allclose(np.asarray(vals),
+                               np.asarray(s.pos.sum(axis=(1, 2))), rtol=1e-12)
