@@ -88,12 +88,17 @@ class Main:
         # skew fix: allow r_cut under dynamics (reference never reads it there)
         if "r_cut" not in section and "r_cut" in args.get("dynamics", {}):
             section["r_cut"] = args["dynamics"]["r_cut"]
+        # deterministic dataset randomness (g ~ N(0,1), MB velocities) from
+        # the global seed — the reference draws unseeded (base.py:230,
+        # transforms.py:73)
+        section.setdefault("seed", int(args.get("seed", 0)))
 
         T = [transforms.ConvertPositionsFrom(args["units"]["dist"]),
              transforms.Center()]
         if section.pop("randomize_vel", False):
             T.append(transforms.RandomizeVelocity(
-                cv.kelvin_to_lj(float(section.pop("temp")))))
+                cv.kelvin_to_lj(float(section.pop("temp"))),
+                seed=section["seed"] + 1))
         else:
             T.append(transforms.ConvertVelocitiesFrom(
                 args["units"]["dist"], args["units"]["time"]))
@@ -283,6 +288,9 @@ class Main:
             self.opt_state = self.optimizer.init(self.params)
             self.log_interval = int(tr["log_interval"])
             self.num_epochs = int(tr["num_epochs"])
+            # reference saves every epoch (main.py:235-250); expose the
+            # cadence for long runs where the per-epoch host sync matters
+            self.checkpoint_interval = int(tr.get("checkpoint_interval", 1))
             # observability (no reference equivalent; SURVEY §5 prescription)
             self.metrics = MetricsLogger(tr.get("metrics_csv"))
             self.profile_dir = tr.get("profile_dir")
@@ -437,13 +445,15 @@ class Main:
         if self.is_main:
             print('Epoch \tVI Loss \t   Time (s)', flush=True)
         params, opt_state = self.params, self.opt_state
-        key = jax.random.PRNGKey(self.seed + 23)
+        base_key = jax.random.PRNGKey(self.seed + 23)
         for epoch in range(self.start_epoch, self.start_epoch + self.num_epochs):
             start_time = time.time()
             losses = []
-            for _ in range(steps_per_epoch):
-                key, sub = jax.random.split(key)
-                params, opt_state, loss = vi_step(params, opt_state, sub)
+            epoch_key = jax.random.fold_in(base_key, epoch)
+            for i in range(steps_per_epoch):
+                params, opt_state, loss = vi_step(params, opt_state,
+                                                  jax.random.fold_in(
+                                                      epoch_key, i))
                 losses.append(loss)
             losses = jax.device_get(jnp.stack(losses))
             self.params, self.opt_state = params, opt_state
@@ -467,7 +477,9 @@ class Main:
         train_step = self._make_train_step()
         params = replicate(self.params, self.mesh)
         opt_state = replicate(self.opt_state, self.mesh)
-        key = jax.random.PRNGKey(self.seed + 17)
+        # epoch/batch-indexed keys: a resumed run draws the same noise as an
+        # uninterrupted one (checkpoint fidelity is bit-exact)
+        base_key = jax.random.PRNGKey(self.seed + 17)
 
         for epoch in range(self.start_epoch, self.start_epoch + self.num_epochs):
             self.train_loader.set_epoch(epoch)
@@ -481,9 +493,10 @@ class Main:
             with profile_trace(self.profile_dir if do_profile else None), \
                     nan_guard(self.nan_checks):
                 losses = []
+                epoch_key = jax.random.fold_in(base_key, epoch)
                 for i, batch in enumerate(self.train_loader):
                     batch = shard_batch(batch, self.mesh)
-                    key, sub = jax.random.split(key)
+                    sub = jax.random.fold_in(epoch_key, i)
                     params, opt_state, loss = train_step(params, opt_state,
                                                          batch, sub)
                     losses.append(loss)
@@ -495,7 +508,9 @@ class Main:
             self.params, self.opt_state = params, opt_state
             if self.nan_checks:
                 assert_all_finite(losses, "epoch losses")
-            if self.is_main and self.checkpoint_path:
+            last = epoch == self.start_epoch + self.num_epochs - 1
+            if (self.is_main and self.checkpoint_path
+                    and (epoch % self.checkpoint_interval == 0 or last)):
                 jax.block_until_ready(params)
                 self._save(epoch)
                 eprint("State saved", flush=True)

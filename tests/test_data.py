@@ -261,3 +261,26 @@ def test_hdf5_dataset(tmp_path):
     d = HDF5Dataset(raw_file=path, r_cut=3.0)
     assert len(d) == 1
     np.testing.assert_allclose(np.asarray(d[0].box), 9.0)
+
+
+def test_mddataset_native_fallback(tmp_path):
+    """MDDataset without MDAnalysis: native xyz-topology + trr-trajectory
+    path (readers._process_native)."""
+    from enflow_tpu.data.readers import MDDataset
+
+    rng = np.random.default_rng(5)
+    traj = str(tmp_path / "t.trr")
+    frames = [{"step": i, "time": 0.0, "box": np.diag([3.0, 3.0, 3.0]),
+               "pos": rng.normal(size=(4, 3)),
+               "vel": rng.normal(size=(4, 3))} for i in range(3)]
+    formats.write_trr(traj, frames, double=True)
+    top = str(tmp_path / "top.xyz")
+    with open(top, "w") as f:
+        f.write("4\nc\nC 0 0 0\nO 1 0 0\nC 0 1 0\nO 0 0 1\n")
+    d = MDDataset(top_file=top, traj_file=traj, r_cut=3.0,
+                  box=[30.0, 30.0, 30.0], dist_unit="ang")
+    assert len(d) == 3
+    s = d[0]
+    assert s.z == ["C", "O", "C", "O"]
+    # trr is nm; declared unit ang -> x10
+    np.testing.assert_allclose(s.pos, frames[0]["pos"] * 10, atol=1e-6)

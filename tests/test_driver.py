@@ -213,3 +213,31 @@ def test_largemd_lazy_dataset(tmp_path):
     s = d[2]
     assert s.num_atoms == 3
     assert s.h.shape[1] == 5
+
+
+def test_resume_is_bit_exact(tmp_path, capsys):
+    """A 2+2-epoch run through a checkpoint must reproduce a straight
+    4-epoch run exactly (epoch/batch-indexed PRNG keys + self-describing
+    checkpoints)."""
+    import jax
+    import numpy as np_
+
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+
+    def losses_of(tag, epoch_counts):
+        cfg = base_config(tmp_path, xyz)
+        cfg["dynamics"]["checkpoint_path"] = str(tmp_path / f"{tag}.cpt")
+        rows = []
+        for n in epoch_counts:
+            cfg["training"]["num_epochs"] = n
+            run_main(tmp_path, cfg, f"{tag}.yaml")
+            out = capsys.readouterr().out
+            rows += [l for l in out.split("\n")
+                     if l.strip() and l[0].isdigit()]
+        return [float(r.split()[1]) for r in rows]
+
+    straight = losses_of("straight", [4])
+    resumed = losses_of("resumed", [2, 2])
+    np_.testing.assert_allclose(resumed, straight, rtol=0)
+    del jax
