@@ -103,3 +103,13 @@ def second_to_lj_md(t):
 
 def time_to_lj_md(t, unit='pico'):
     return second_to_lj_md(t * _TIME_UNITS[unit])
+
+
+def vel_to_lj_md(x, unit1='ang', unit2='pico'):
+    """Dimensionally-correct velocity to reduced units (lab dist/time)."""
+    return vel_to_lj(x, unit1, unit2) / _MOLAR_MASS_FIX
+
+
+def lj_to_vel_md(x_, unit1='ang', unit2='pico'):
+    """Dimensionally-correct reduced velocity back to lab dist/time units."""
+    return lj_to_vel(x_, unit1, unit2) * _MOLAR_MASS_FIX
