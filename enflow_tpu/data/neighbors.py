@@ -135,19 +135,28 @@ def all_pairs(mask) -> Neighbors:
 
 
 def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
-                         mode: str = "dense"):
+                         mode: str = "dense", cells_per_dim=None,
+                         cell_capacity=None):
     """Build neighbors and min-image displacements with one shared diff
     computation (the split API computes the ``[B,N,K,3]`` diff twice).
 
     ``mode``: 'dense'/'topk' follow :func:`neighbor_list`; 'all_pairs' skips
-    the distance test entirely (see :func:`all_pairs`).
+    the distance test entirely (see :func:`all_pairs`); 'cell' bins atoms
+    into a grid first — O(N * 27C) instead of O(N^2) distance tests
+    (``data/celllist.py``; requires ``capacity``, ``cells_per_dim`` and
+    ``cell_capacity``).
     """
     if mode == "all_pairs":
         nbrs = all_pairs(mask)
         diff = pos[:, :, None, :] - pos[:, None, :, :]
         diff = min_image(diff, box[:, None, None, :])
         return nbrs, jnp.where(nbrs.mask[..., None], diff, 0.0)
-    nbrs = neighbor_list(pos, box, mask, r_cut, capacity)
+    if mode == "cell":
+        from .celllist import cell_neighbor_list
+        nbrs = cell_neighbor_list(pos, box, mask, r_cut, capacity,
+                                  cells_per_dim, cell_capacity)
+    else:
+        nbrs = neighbor_list(pos, box, mask, r_cut, capacity)
     return nbrs, coord_diffs(pos, box, nbrs)
 
 

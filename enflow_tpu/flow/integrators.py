@@ -63,7 +63,10 @@ class FlowConfig:
     integrator: str = "lf"          # 'lf' | 'vv'
     dequantizer: str = "argmax"     # 'argmax' | 'floor'
     nbr_capacity: Optional[int] = None
-    nbr_mode: str = "dense"         # 'dense' | 'all_pairs' (cluster targets)
+    # 'dense' | 'all_pairs' (cluster targets) | 'cell' (large-N grid binning)
+    nbr_mode: str = "dense"
+    cells_per_dim: Optional[int] = None   # 'cell' mode grid size m
+    cell_capacity: Optional[int] = None   # 'cell' mode atoms-per-cell cap
     exact_ldj: bool = False
     dequant_scale: float = 1.0      # Floor dequantizer noise scale
     # Rematerialize each flow step under autodiff (jax.checkpoint on the
@@ -71,6 +74,11 @@ class FlowConfig:
     # instead of storing them per step — required for large-N systems
     # (LJ55-class HMC through the flow OOMs 16 GB HBM without it).
     remat: bool = False
+    # Mesh axis name the *atom* dimension is sharded over (shard_map ring
+    # EGCL, parallel/ring.py) — None for the single-device dense path. Set
+    # by flow/sharded.py, not by hand: every function here then assumes it
+    # is executing inside shard_map with per-shard [B, N/P, ...] blocks.
+    axis_name: Optional[str] = None
 
     @property
     def num_networks(self) -> int:
@@ -114,10 +122,24 @@ def _dequant_reverse(cfg, h, mask):
 
 def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
     """Evaluate one EGCL on current state, rebuilding the neighbor list."""
+    if cfg.axis_name:
+        from ..parallel.ring import ring_egcl
+        return ring_egcl(net_params, cfg.egcl, sys.h, sys.pos, sys.mask,
+                         sys.box, sys.r_cut, cfg.axis_name,
+                         nbr_mode=cfg.nbr_mode)
     nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
-                                    cfg.nbr_capacity, cfg.nbr_mode)
+                                    cfg.nbr_capacity, cfg.nbr_mode,
+                                    cfg.cells_per_dim, cfg.cell_capacity)
     return apply_egcl(net_params, cfg.egcl, sys.h, cd, nbrs.idx, nbrs.mask,
                       sys.mask, all_pairs=cfg.nbr_mode == "all_pairs")
+
+
+def _ldj_sum(cfg: FlowConfig, Q):
+    """Per-molecule ``Q.sum()`` — psummed over the atom axis when sharded."""
+    s = Q.sum(axis=(1, 2))
+    if cfg.axis_name:
+        s = jax.lax.psum(s, cfg.axis_name)
+    return cfg.ldj_factor * s
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +159,7 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
         g = s.g + G * dt
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
-        return s, cfg.ldj_factor * Q.sum(axis=(1, 2))
+        return s, _ldj_sum(cfg, Q)
 
     sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
                                   params["networks"])
@@ -153,7 +175,7 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
         Q, F, G = _egcl_at(params, cfg, net, s)
         g = s.g - G * dt
         vel = (s.vel - F * dt) / jnp.exp(Q)
-        return s.replace(g=g, vel=vel), -cfg.ldj_factor * Q.sum(axis=(1, 2))
+        return s.replace(g=g, vel=vel), -_ldj_sum(cfg, Q)
 
     sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
                                   params["networks"], reverse=True)
@@ -179,7 +201,7 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         # first half-kick with the carried network evaluation
         vel = jnp.exp(Q / 2) * s.vel + F * dt_2
         g = s.g + G * dt_2
-        ldj = cfg.ldj_factor * 0.5 * Q.sum(axis=(1, 2))
+        ldj = 0.5 * _ldj_sum(cfg, Q)
         # drift
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
@@ -187,7 +209,7 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         Q2, F2, G2 = _egcl_at(params, cfg, net, s)
         s = s.replace(vel=jnp.exp(Q2 / 2) * s.vel + F2 * dt_2,
                       g=s.g + G2 * dt_2)
-        ldj = ldj + cfg.ldj_factor * 0.5 * Q2.sum(axis=(1, 2))
+        ldj = ldj + 0.5 * _ldj_sum(cfg, Q2)
         return (s, (Q2, F2, G2)), ldj
 
     (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), (sys, QFG0),
@@ -213,7 +235,7 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         # undo second half-kick of this step (evaluation carried in)
         s = s.replace(g=s.g - G * dt_2,
                       vel=(s.vel - F * dt_2) / jnp.exp(Q / 2))
-        ldj = -cfg.ldj_factor * 0.5 * Q.sum(axis=(1, 2))
+        ldj = -0.5 * _ldj_sum(cfg, Q)
         # undo drift
         s = s.replace(h=s.h - s.g * dt)
         s = s.replace(pos=s.pos - s.vel * dt).pbc()
@@ -221,7 +243,7 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         Q2, F2, G2 = _egcl_at(params, cfg, net, s)
         s = s.replace(g=s.g - G2 * dt_2,
                       vel=(s.vel - F2 * dt_2) / jnp.exp(Q2 / 2))
-        ldj = ldj - cfg.ldj_factor * 0.5 * Q2.sum(axis=(1, 2))
+        ldj = ldj - 0.5 * _ldj_sum(cfg, Q2)
         return (s, (Q2, F2, G2)), ldj
 
     (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG_last), rest,
@@ -239,8 +261,22 @@ def forward(params, cfg: FlowConfig, sys: System, key):
     Returns ``(system, ldj [B])`` — per-molecule log-det contributions
     including the dequantizer's per-molecule ``log_q`` (reference convention,
     dynamics.py:11; the reference keeps one batch scalar, but samplers need
-    per-particle densities — summing recovers the reference value)."""
-    h, log_q = _dequant_forward(params, cfg, sys.h, sys.mask, key)
+    per-particle densities — summing recovers the reference value).
+
+    Atom-sharded mode (``cfg.axis_name`` under shard_map): each shard
+    dequantizes its own atoms with an independent key; ``log_q`` partial sums
+    are psummed, re-charging the per-molecule ``log(2*pi)`` constant once
+    (the ArgMax ``log_gaussian`` quirk) instead of once per shard."""
+    if cfg.axis_name:
+        from ..utils.helpers import LOG_2PI
+        key = jax.random.fold_in(key, jax.lax.axis_index(cfg.axis_name))
+        h, log_q_local = _dequant_forward(params, cfg, sys.h, sys.mask, key)
+        log_q = jax.lax.psum(log_q_local, cfg.axis_name)
+        if cfg.dequantizer == "argmax":
+            n_dev = jax.lax.psum(1, cfg.axis_name)
+            log_q = log_q + 0.5 * LOG_2PI * (n_dev - 1)
+    else:
+        h, log_q = _dequant_forward(params, cfg, sys.h, sys.mask, key)
     sys = sys.replace(h=h)
     if cfg.integrator == "lf":
         sys, ldj = _lf_forward(params, cfg, sys)

@@ -24,6 +24,7 @@ upper-triangular indexing become one masked ``[B, N, N]`` computation —
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..data.system import System
@@ -48,7 +49,8 @@ def lj_potential(pos, mask, softening):
     return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
 
 
-def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0):
+def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0,
+                      axis_name=None):
     """Per-molecule latent log density ``[B]`` under the LJ-fluid base.
 
     ``ldj`` is the per-molecule log-det vector from ``flow.forward``. The
@@ -59,22 +61,36 @@ def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0):
 
     Samplers (SMC/AIS) use this as the flow-proposal log density: for
     ``x -> forward -> (out, ldj)``, ``log q(x) = alchemical_log_px(out, ldj)``.
+
+    ``axis_name`` (inside shard_map, atoms sharded): per-shard partial sums
+    are psummed — the pairwise term goes blockwise around the ICI ring
+    (``parallel/pairwise.py:ring_alchemical_lj``) instead of materializing
+    the dense ``[B, N, N]`` matrix on one device.
     """
     am = out.mask[..., None]
-    H = lj_potential(out.pos, out.mask, softening)                   # [B]
-    H = H + 0.5 * jnp.where(am, out.vel * out.vel, 0.0).sum(axis=(1, 2))
-    n_atoms = out.mask.sum(axis=1).astype(out.pos.dtype)             # [B]
+
+    def _asum(x):   # per-molecule sum over (local) atoms
+        s = x.sum(axis=(1, 2))
+        return jax.lax.psum(s, axis_name) if axis_name else s
+
+    if axis_name:
+        from ..parallel.pairwise import ring_alchemical_lj
+        H = ring_alchemical_lj(out.pos, out.mask, softening, axis_name)
+        n_atoms = jax.lax.psum(out.mask.sum(axis=1), axis_name)
+    else:
+        H = lj_potential(out.pos, out.mask, softening)               # [B]
+        n_atoms = out.mask.sum(axis=1)
+    H = H + 0.5 * _asum(jnp.where(am, out.vel * out.vel, 0.0))
+    n_atoms = n_atoms.astype(out.pos.dtype)                          # [B]
     logZ = -n_atoms * (math.log(partition_func)
                        - 1.5 * jnp.log(2.0 * jnp.pi / kBT))
-    log_gh = -0.5 * (jnp.where(am, out.h * out.h, 0.0).sum(axis=(1, 2))
-                     + LOG_2PI)
-    log_gg = -0.5 * (jnp.where(am, out.g * out.g, 0.0).sum(axis=(1, 2))
-                     + LOG_2PI)
+    log_gh = -0.5 * (_asum(jnp.where(am, out.h * out.h, 0.0)) + LOG_2PI)
+    log_gg = -0.5 * (_asum(jnp.where(am, out.g * out.g, 0.0)) + LOG_2PI)
     return -H / kBT + logZ + ldj + log_gh + log_gg
 
 
 def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0,
-                   num_log_gaussian_calls=3):
+                   num_log_gaussian_calls=3, axis_name=None):
     """Scalar NLL for a batched flow output (reference loss.py:21-25).
 
     Exactly the reference value: the per-molecule terms are summed over real
@@ -86,7 +102,10 @@ def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0,
     its log_q).
     """
     real = out.mask.any(axis=1)
-    per_mol = alchemical_log_px(out, ldj, kBT, softening, partition_func)
+    if axis_name:
+        real = jax.lax.psum(real.astype(jnp.int32), axis_name) > 0
+    per_mol = alchemical_log_px(out, ldj, kBT, softening, partition_func,
+                                axis_name=axis_name)
     num_mols = real.sum().astype(out.pos.dtype)
     log_px = (jnp.where(real, per_mol, 0.0).sum()
               + 0.5 * num_log_gaussian_calls * LOG_2PI * (num_mols - 1.0))

@@ -83,6 +83,51 @@ def init_egcl(key, cfg: EGCLConfig, dtype=jnp.float32):
     return params
 
 
+def edge_messages(params, cfg: EGCLConfig, h_i, h_j, coord_diff, valid):
+    """Block-pair edge pipeline shared by the dense and ring paths.
+
+    ``h_i [..., I, nf]`` query features, ``h_j [..., I, J, nf]`` neighbor
+    features, ``coord_diff [..., I, J, 3]`` displacements ``x_i - x_j``,
+    ``valid [..., I, J]`` edge mask. Returns the masked per-edge message
+    ``m [..., I, J, hidden]`` (reference egcl.py:57-63) and the clipped gated
+    displacement ``trans [..., I, J, 3]`` (egcl.py:71-73) — callers aggregate
+    over J (and, for the ring path, accumulate across rotations).
+    """
+    radial = (coord_diff * coord_diff).sum(-1, keepdims=True)
+    if cfg.norm_diff:
+        coord_diff = coord_diff / (jnp.sqrt(radial) + 1.0)
+    h_i = jnp.broadcast_to(h_i[..., :, None, :], h_j.shape)
+    edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
+    m = apply_mlp(params["edge_nn"], edge_in, final_act=silu)
+    if cfg.attention:
+        m = m * jax.nn.sigmoid(apply_linear(params["att_nn"], m))
+    m = jnp.where(valid[..., None], m, 0.0)
+    gate = apply_linear(params["coord_nn"][1],
+                        silu(apply_linear(params["coord_nn"][0], m)))
+    if cfg.tanh:
+        gate = jnp.tanh(gate) * params["coords_range"]
+    trans = jnp.clip(coord_diff * gate, -100.0, 100.0)
+    trans = jnp.where(valid[..., None], trans, 0.0)
+    return m, trans
+
+
+def node_outputs(params, cfg: EGCLConfig, h, agg, f_sum, count, atom_mask):
+    """Per-node heads from aggregated edge quantities (shared dense/ring).
+
+    ``agg [..., N, hidden]`` summed messages, ``f_sum [..., N, 3]`` summed
+    gated displacements, ``count [..., N, 1]`` valid-neighbor counts.
+    Returns ``(Q, F, G)`` zeroed on padded atoms.
+    """
+    am = atom_mask[..., None]
+    G = apply_mlp(params["node_nn"], jnp.concatenate([h, agg], axis=-1))
+    G = jnp.where(am, G, 0.0)
+    F = f_sum / jnp.clip(count, 1, None).astype(f_sum.dtype)
+    F = jnp.where(am, F * cfg.coords_weight, 0.0)
+    Q = apply_mlp(params["vel_scaling_nn"], h)
+    Q = jnp.where(am, Q, 0.0)
+    return Q, F, G
+
+
 def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
                atom_mask, all_pairs: bool = False):
     """Apply one EGCL.
@@ -107,10 +152,6 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
         params = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
         h = h.astype(cdt)
         coord_diff = coord_diff.astype(cdt)
-    radial = (coord_diff * coord_diff).sum(-1, keepdims=True)  # [B,N,K,1]
-
-    if cfg.norm_diff:
-        coord_diff = coord_diff / (jnp.sqrt(radial) + 1.0)
 
     # -- edge model (reference egcl.py:57-63) ------------------------------
     if all_pairs:
@@ -118,37 +159,20 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
         h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, nf))
     else:
         h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)      # [B,N,K,nf]
-    h_i = jnp.broadcast_to(h[:, :, None, :], h_j.shape)
-    edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
 
     if cfg.use_pallas and not (cfg.attention or cfg.norm_diff or cfg.tanh):
+        radial = (coord_diff * coord_diff).sum(-1, keepdims=True)
+        h_i = jnp.broadcast_to(h[:, :, None, :], h_j.shape)
+        edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
         return _apply_egcl_fused(params, cfg, h, edge_in, coord_diff,
                                  nbr_mask, am, in_dtype)
-    m = apply_mlp(params["edge_nn"], edge_in, final_act=silu)   # [B,N,K,hidden]
-    if cfg.attention:
-        m = m * jax.nn.sigmoid(apply_linear(params["att_nn"], m))
-    m = jnp.where(nbr_mask[..., None], m, 0.0)
 
-    # -- node model: masked scatter-sum == dense sum over K (egcl.py:65-69) -
-    agg = m.sum(axis=2)                                         # [B,N,hidden]
-    G = apply_mlp(params["node_nn"], jnp.concatenate([h, agg], axis=-1))
-    G = jnp.where(am, G, 0.0)
-
-    # -- force model: gated displacements, masked mean (egcl.py:71-75) -----
-    gate = apply_linear(params["coord_nn"][1],
-                        silu(apply_linear(params["coord_nn"][0], m)))
-    if cfg.tanh:
-        gate = jnp.tanh(gate) * params["coords_range"]
-    trans = coord_diff * gate                                   # [B,N,K,3]
-    trans = jnp.clip(trans, -100.0, 100.0)  # reference egcl.py:73 safety clamp
-    trans = jnp.where(nbr_mask[..., None], trans, 0.0)
-    count = jnp.clip(nbr_mask.sum(axis=2, keepdims=True), 1, None)
-    F = trans.sum(axis=2) / count.astype(trans.dtype)           # [B,N,3]
-    F = jnp.where(am, F * cfg.coords_weight, 0.0)
-
-    # -- velocity log-scale (egcl.py:91) -----------------------------------
-    Q = apply_mlp(params["vel_scaling_nn"], h)                  # [B,N,1]
-    Q = jnp.where(am, Q, 0.0)
+    m, trans = edge_messages(params, cfg, h, h_j, coord_diff, nbr_mask)
+    # masked scatter-sum == dense sum over K (egcl.py:65-69); masked mean for
+    # the force (egcl.py:71-75)
+    count = nbr_mask.sum(axis=2, keepdims=True)
+    Q, F, G = node_outputs(params, cfg, h, m.sum(axis=2), trans.sum(axis=2),
+                           count, atom_mask)
 
     if cfg.compute_dtype is not None:
         Q, F, G = (Q.astype(in_dtype), F.astype(in_dtype),

@@ -78,6 +78,44 @@ def ring_softened_lj_energy(pos_blk, mask_blk, box, softening, cutoff,
     return 0.5 * jax.lax.psum(energy, axis_name)
 
 
+def ring_alchemical_lj(pos_blk, mask_blk, softening, axis_name: str):
+    """Atom-sharded NLL pairwise term: the *loss* LJ formula
+    (``flow/loss.py:lj_potential`` — softening on r^2, no PBC, no cutoff,
+    zero-distance pairs excluded) with atoms rotated around the ring.
+
+    ``pos_blk [B, n_blk, 3]`` / ``mask_blk [B, n_blk]`` are this shard's atom
+    blocks of a batch of molecules. Returns the replicated per-molecule
+    energies ``[B]``. Exactly the dense value: ordered pairs accumulate over
+    rotations and are halved (self/coincident pairs drop via the ``d2 != 0``
+    exclusion the reference applies, loss.py:15).
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def pair_block(pos_j, mask_j):
+        diff = pos_blk[:, :, None, :] - pos_j[:, None, :, :]
+        d2 = (diff * diff).sum(-1)
+        valid = (mask_blk[:, :, None] & mask_j[:, None, :]) & (d2 != 0.0)
+        r_sq = jnp.where(valid, d2 + softening, 1.0)
+        r_6 = r_sq * r_sq * r_sq
+        e = 4.0 * (1.0 / (r_6 * r_6) - 1.0 / r_6)
+        return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
+
+    def step(s, carry):
+        energy, pos_j, mask_j = carry
+        energy = energy + pair_block(pos_j, mask_j)
+        pos_j = jax.lax.ppermute(pos_j, axis_name, perm)
+        mask_j = jax.lax.ppermute(mask_j, axis_name, perm)
+        return energy, pos_j, mask_j
+
+    # zero carry derived from the input so its varying-axes type matches the
+    # loop output on any mesh (inputs may vary over a data axis too)
+    zero = 0.0 * pos_blk[:, 0, 0]
+    energy, _, _ = jax.lax.fori_loop(0, n_dev, step,
+                                     (zero, pos_blk, mask_blk))
+    return 0.5 * jax.lax.psum(energy, axis_name)
+
+
 def make_sharded_lj_energy(mesh: Mesh, axis: str = "atom"):
     """Build a jitted sharded energy: ``f(pos [N,3], mask [N], box, softening,
     cutoff) -> scalar`` with ``N`` divided over ``mesh[axis]``."""

@@ -197,30 +197,52 @@ class Main:
         self.node_nf = node_nf
 
         # mesh + loader: batch sharded over the data axis, per-process shard.
-        # If batch_size does not divide across every device, fall back to the
-        # largest device count that does (single-host only).
+        # A 2-D mesh ("data", "atom") additionally shards each molecule's
+        # atom axis (ring EGCL / ring NLL, flow/sharded.py) when
+        # ``parallel.atom_axis`` > 1 — the large-N scaling path.
+        self.atom_axis = int(args.get("parallel", {}).get("atom_axis", 1))
+        n_dev = len(jax.devices())
+        if self.atom_axis > 1:
+            if n_dev % self.atom_axis:
+                raise ValueError(
+                    f"parallel.atom_axis={self.atom_axis} must divide the "
+                    f"device count ({n_dev})")
+            n_data = n_dev // self.atom_axis
+            self.mesh = get_mesh(("data", "atom"),
+                                 shape=(n_data, self.atom_axis))
+            if self.dataset is not None and batch_size % n_data:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the data "
+                    f"axis ({n_data} = {n_dev} devices / atom_axis "
+                    f"{self.atom_axis})")
+        elif self.dataset is not None and batch_size % n_dev != 0:
+            # If batch_size does not divide across every device, fall back
+            # to the largest device count that does (single-host only).
+            usable = max(d for d in range(1, n_dev + 1)
+                         if batch_size % d == 0)
+            if self.num_processes > 1:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"device count ({n_dev}) in multi-host runs")
+            if self.is_main and self.mode == "train":
+                eprint(f"batch_size={batch_size} not divisible by {n_dev} "
+                       f"devices; using {usable}", flush=True)
+            self.mesh = get_mesh(devices=jax.devices()[:usable])
+        else:
+            self.mesh = get_mesh()
+
         if self.dataset is not None:
-            n_dev = len(jax.devices())
-            if batch_size % n_dev != 0:
-                usable = max(d for d in range(1, n_dev + 1)
-                             if batch_size % d == 0)
-                if self.num_processes > 1:
-                    raise ValueError(
-                        f"batch_size={batch_size} must be divisible by the "
-                        f"device count ({n_dev}) in multi-host runs")
-                if self.is_main and self.mode == "train":
-                    eprint(f"batch_size={batch_size} not divisible by {n_dev} "
-                           f"devices; using {usable}", flush=True)
-                self.mesh = get_mesh(devices=jax.devices()[:usable])
-            else:
-                self.mesh = get_mesh()
             self.train_loader = DataLoader(
                 self.dataset, batch_size=batch_size,
                 shuffle=(self.mode == "train"), seed=self.seed,
                 dtype=self.dtype,
                 shard=(self.num_processes, self.process_index))
+            if self.atom_axis > 1:
+                # static batch shapes must split evenly over the atom axis
+                n_max = self.train_loader.n_max
+                self.train_loader.n_max = (
+                    -(-n_max // self.atom_axis) * self.atom_axis)
         else:
-            self.mesh = get_mesh()
             self.train_loader = None
 
         # neighbor capacity: explicit int, or "auto" -> size from the first
@@ -256,6 +278,7 @@ class Main:
             dequantizer=self.dequantizer,
             nbr_capacity=nbr_capacity,
             nbr_mode=dyn.get("nbr_mode", "dense"),
+            **self._cell_params(dyn),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
             remat=bool(dyn.get("remat", False)),
         )
@@ -320,25 +343,70 @@ class Main:
     # train
     # ------------------------------------------------------------------
 
+    def _cell_params(self, dyn):
+        """Static cell-list parameters for ``nbr_mode: cell`` — explicit
+        ints, or derived from the first sample ('auto' / omitted)."""
+        if dyn.get("nbr_mode") != "cell":
+            return {}
+        from ..data.celllist import suggest_cells_per_dim
+        m = dyn.get("cells_per_dim", "auto")
+        cap = dyn.get("cell_capacity", "auto")
+        if m == "auto" or cap == "auto":
+            if self.dataset is None or not len(self.dataset):
+                raise ValueError(
+                    "nbr_mode: cell with auto parameters requires a dataset")
+            s0 = self.dataset[0]
+            if m == "auto":
+                m = suggest_cells_per_dim(s0.box, s0.r_cut)
+            if cap == "auto":
+                # occupancy of the densest cell in the first sample, +50%
+                # headroom (validated at runtime by celllist.cell_overflow
+                # under debug.nan_checks)
+                frac = np.asarray(s0.pos) / s0.box + 0.5
+                frac = frac - np.floor(frac)
+                ijk = np.clip((frac * int(m)).astype(int), 0, int(m) - 1)
+                cid = (ijk[:, 0] * int(m) + ijk[:, 1]) * int(m) + ijk[:, 2]
+                occ = int(np.bincount(cid).max())
+                cap = max(4, int(np.ceil(occ * 1.5)))
+            if self.is_main:
+                eprint(f"cell list: cells_per_dim={m}, cell_capacity={cap}",
+                       flush=True)
+        return {"cells_per_dim": int(m), "cell_capacity": int(cap)}
+
     def _make_train_step(self):
         cfg = self.flow_cfg
         kBT, soft = self.lj_kBT, self.softening
         optimizer = self.optimizer
         n_lg = 3 if cfg.dequantizer == "argmax" else 2
 
-        @jax.jit
-        def train_step(params, opt_state, batch, key):
-            def loss_fn(p):
+        if self.atom_axis > 1:
+            from ..flow.sharded import make_sharded_nll
+            nll_fn = make_sharded_nll(self.mesh, cfg, kBT, soft,
+                                      num_log_gaussian_calls=n_lg,
+                                      axis="atom", data_axis="data")
+        else:
+            def nll_fn(p, batch, key):
                 out, ldj = forward(p, cfg, batch, key)
                 return alchemical_nll(out, ldj, kBT, soft,
                                       num_log_gaussian_calls=n_lg)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        @jax.jit
+        def train_step(params, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(nll_fn)(params, batch, key)
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, loss
 
         return train_step
+
+    def _place_batch(self, batch):
+        """Put a padded batch on the mesh: molecules over 'data', and (when
+        atom_axis > 1) atoms over 'atom'."""
+        if self.atom_axis > 1:
+            from ..flow.sharded import shard_system
+            return shard_system(batch, self.mesh, axis="atom",
+                                data_axis="data")
+        return shard_batch(batch, self.mesh)
 
     def _current_lr(self):
         if callable(self._schedule):
@@ -415,18 +483,55 @@ class Main:
         tr = self.args["training"]
         tgt_sec = tr["target"]
         target, n_atoms = self._build_pos_target(tgt_sec)
-        sys_target = make_system_target(
-            target.log_prob, kBT_aux=float(tgt_sec.get("kBT_aux", 1.0)))
+        kBT_aux = float(tgt_sec.get("kBT_aux", 1.0))
         n_particles = int(tr.get("n_particles", 256))
         steps_per_epoch = int(tr.get("steps_per_epoch", 100))
         base_sec = tr.get("base", {})
         box = float(tgt_sec.get("box", 1e3))
         r_cut = float(tgt_sec.get("r_cut", 1e2))
 
+        # annealed training aids (VI quality): softening / energy cap start
+        # high (smooth, bounded target) and decay linearly to the target's
+        # configured final values over `epochs` — passed as *traced* scalars
+        # so the whole schedule reuses one compiled step.
+        anneal = tgt_sec.get("anneal")
+        if anneal:
+            if tgt_sec.get("type", "lj_cluster") != "lj_cluster":
+                raise ValueError(
+                    "training.target.anneal is supported for lj_cluster "
+                    "targets")
+            s_final = float(tgt_sec.get("softening", 0.0))
+            s_start = float(anneal.get("softening_start", s_final))
+            cap_final = tgt_sec.get("e_cap")
+            cap_final = np.inf if cap_final is None else float(cap_final)
+            cap_start = float(anneal.get("e_cap_start", cap_final))
+            anneal_epochs = max(1, int(anneal.get("epochs", 1)))
+
+            def schedule(epoch):
+                frac = max(0.0, 1.0 - epoch / anneal_epochs)
+                # harmonic interpolation for the cap: 1/cap goes linearly to
+                # 1/cap_final (0 when uncapped), so cap -> inf smoothly
+                inv = frac / cap_start + (
+                    0.0 if np.isinf(cap_final) else (1.0 - frac) / cap_final)
+                cap = np.inf if inv == 0.0 else 1.0 / inv
+                return (s_final + (s_start - s_final) * frac,
+                        min(cap, float(np.finfo(np.float32).max)))
+
+            def sys_target(soft, cap):
+                return make_system_target(
+                    lambda x: target.log_prob(x, softening=soft, e_cap=cap),
+                    kBT_aux=kBT_aux)
+        else:
+            def schedule(epoch):
+                return (0.0, 0.0)   # unused placeholders
+
+            def sys_target(soft, cap):
+                return make_system_target(target.log_prob, kBT_aux=kBT_aux)
+
         cfg, optimizer = self.flow_cfg, self.optimizer
 
         @jax.jit
-        def vi_step(params, opt_state, key):
+        def vi_step(params, opt_state, key, soft, cap):
             batch = sample_base(
                 key, n_particles, n_atoms, self.node_nf, box=box, r_cut=r_cut,
                 pos_std=float(base_sec.get("pos_std", 1.0)),
@@ -435,7 +540,7 @@ class Main:
                 dtype=self.dtype)
 
             def loss_fn(p):
-                loss, _ = flow_vi_loss(p, cfg, batch, sys_target)
+                loss, _ = flow_vi_loss(p, cfg, batch, sys_target(soft, cap))
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -450,10 +555,14 @@ class Main:
             start_time = time.time()
             losses = []
             epoch_key = jax.random.fold_in(base_key, epoch)
+            soft_e, cap_e = schedule(epoch)
+            soft_e = jnp.asarray(soft_e, self.dtype)
+            cap_e = jnp.asarray(cap_e, self.dtype)
             for i in range(steps_per_epoch):
                 params, opt_state, loss = vi_step(params, opt_state,
                                                   jax.random.fold_in(
-                                                      epoch_key, i))
+                                                      epoch_key, i),
+                                                  soft_e, cap_e)
                 losses.append(loss)
             losses = jax.device_get(jnp.stack(losses))
             self.params, self.opt_state = params, opt_state
@@ -495,7 +604,7 @@ class Main:
                 losses = []
                 epoch_key = jax.random.fold_in(base_key, epoch)
                 for i, batch in enumerate(self.train_loader):
-                    batch = shard_batch(batch, self.mesh)
+                    batch = self._place_batch(batch)
                     sub = jax.random.fold_in(epoch_key, i)
                     params, opt_state, loss = train_step(params, opt_state,
                                                          batch, sub)
@@ -536,7 +645,16 @@ class Main:
         """Reverse the flow on latent samples (reference main.py:263-278):
         write ``h.out`` + ``test_out.xyz`` and print the roundtrip check."""
         batch = next(iter(self.train_loader))
-        rev = jax.jit(partial(reverse, cfg=self.flow_cfg))
+        if self.atom_axis > 1:
+            from ..flow.sharded import sharded_forward, sharded_reverse
+            batch = self._place_batch(batch)
+            rev = lambda p, sys: sharded_reverse(
+                self.mesh, p, self.flow_cfg, sys, data_axis="data")
+            fwd_fn = lambda p, sys, key: sharded_forward(
+                self.mesh, p, self.flow_cfg, sys, key, data_axis="data")
+        else:
+            rev = jax.jit(partial(reverse, cfg=self.flow_cfg))
+            fwd_fn = None
         out = rev(self.params, sys=batch)
 
         mask = np.asarray(out.mask[0])
@@ -551,8 +669,11 @@ class Main:
         # dequantization noise (argmax.py:17), so it cannot reproduce the
         # latent sample and the reference's printout is vacuously False.
         # We check the exact direction instead: reverse(forward(out)) == out.
-        fwd = jax.jit(partial(forward, cfg=self.flow_cfg))
-        data_, _ = fwd(self.params, sys=out, key=jax.random.PRNGKey(99))
+        if fwd_fn is None:
+            fwd = jax.jit(partial(forward, cfg=self.flow_cfg))
+            data_, _ = fwd(self.params, sys=out, key=jax.random.PRNGKey(99))
+        else:
+            data_, _ = fwd_fn(self.params, out, jax.random.PRNGKey(99))
         back = rev(self.params, sys=data_)
         atol = 1e-8 if self.dtype == jnp.float64 else 1e-4
         print(bool(jnp.allclose(back.pos, out.pos, atol=atol)))
