@@ -36,8 +36,11 @@ def regularize_energy(u, e_high):
     Standard Boltzmann-generator energy regularization (cf. Noé et al. 2019):
     keeps gradients finite and sane when untrained-flow samples land inside
     the r -> 0 repulsive wall (U ~ 1e15), which otherwise blows up flow-VI.
+    The untaken branch is clamped (``maximum``) so ``jax.grad`` through the
+    ``where`` stays NaN-free even for extreme ``u``/``e_high``.
     """
-    return jnp.where(u > e_high, e_high + jnp.log1p(u - e_high), u)
+    return jnp.where(u > e_high,
+                     e_high + jnp.log1p(jnp.maximum(u - e_high, 0.0)), u)
 
 
 def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
@@ -49,12 +52,18 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
     the Boltzmann density is normalizable. ``softening`` uses the alchemical
     soft-core form ``r_sq + s`` (reference flow/loss.py:16); ``e_cap``
     applies :func:`regularize_energy` — both are training aids for flow-VI
-    and should be annealed to 0/None for exact sampling.
+    and should be annealed to 0/None for exact sampling. The returned
+    ``log_prob`` accepts optional ``softening``/``e_cap`` overrides as
+    *traced* scalars so an annealing schedule (driver
+    ``training.target.anneal``) reuses one compiled program.
     """
 
-    def log_prob(x):
+    def log_prob(x, softening=softening, e_cap=e_cap):
         com = x.mean(axis=0, keepdims=True)
-        if softening:
+        static_soft = isinstance(softening, (int, float))
+        if static_soft and softening == 0.0:
+            u = lj_energy(x, epsilon=epsilon, sigma=sigma)
+        else:
             diff = x[:, None, :] - x[None, :, :]
             d2 = (diff * diff).sum(-1)
             iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
@@ -62,8 +71,6 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
             r6 = r_sq * r_sq * r_sq
             e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
             u = jnp.where(iu, e, 0.0).sum()
-        else:
-            u = lj_energy(x, epsilon=epsilon, sigma=sigma)
         u = u + c_osc * ((x - com) ** 2).sum()
         if e_cap is not None:
             u = regularize_energy(u, e_cap)

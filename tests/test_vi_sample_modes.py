@@ -145,3 +145,38 @@ def test_flow_vi_forcefield_target(tmp_path, capsys):
     assert len(rows) == 1
     assert np.isfinite(float(rows[0].split()[1]))
     assert os.path.exists(tmp_path / "ff.cpt")
+
+
+def test_flow_vi_annealed_softening(tmp_path, capsys):
+    """Annealed softening / energy-cap schedule on an LJ cluster target:
+    traced schedule scalars (one compile), finite decreasing losses."""
+    cfg = vi_config(tmp_path, n_epochs=4)
+    cfg["training"]["target"] = {
+        "type": "lj_cluster", "n_atoms": 6, "kBT": 2.0,
+        "softening": 0.0, "e_cap": 50.0,
+        "anneal": {"softening_start": 0.5, "e_cap_start": 5.0, "epochs": 3},
+    }
+    cfg["training"]["steps_per_epoch"] = 10
+    run_main(tmp_path, cfg, "vi_anneal.yaml")
+    out = capsys.readouterr().out
+    rows = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    losses = [float(r.split()[1]) for r in rows]
+    assert len(losses) == 4
+    assert all(np.isfinite(losses))
+
+
+def test_flow_vi_anneal_to_uncapped(tmp_path, capsys):
+    """e_cap annealing to None (uncapped): gradients stay NaN-free through
+    the near-infinite cap (regularize_energy untaken-branch guard)."""
+    cfg = vi_config(tmp_path, n_epochs=3)
+    cfg["training"]["target"] = {
+        "type": "lj_cluster", "n_atoms": 4, "kBT": 2.0,
+        "anneal": {"softening_start": 0.3, "e_cap_start": 20.0, "epochs": 2},
+    }
+    cfg["training"]["steps_per_epoch"] = 8
+    run_main(tmp_path, cfg, "vi_anneal2.yaml")
+    out = capsys.readouterr().out
+    rows = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    losses = [float(r.split()[1]) for r in rows]
+    assert len(losses) == 3
+    assert all(np.isfinite(losses))
