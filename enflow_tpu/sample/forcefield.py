@@ -180,10 +180,23 @@ def ff_energy(ff: ForceField, pos):
     return e
 
 
-def forcefield_target(ff: ForceField, kBT: float = 1.0) -> Target:
-    """Boltzmann target ``log p(x) = -E_ff(x)/kBT``."""
-    return Target(log_prob=lambda x: -ff_energy(ff, x) / kBT,
-                  dim=(ff.n_atoms, 3), name="forcefield")
+def forcefield_target(ff: ForceField, kBT: float = 1.0,
+                      e_cap: float | None = None) -> Target:
+    """Boltzmann target ``log p(x) = -E_ff(x)/kBT``.
+
+    ``e_cap`` log-caps extreme energies (``targets.regularize_energy``) — a
+    flow-VI training aid for the r -> 0 LJ/Coulomb wall; accepts a traced
+    scalar for annealing, like the cluster targets.
+    """
+    from .targets import regularize_energy
+
+    def log_prob(x, e_cap=e_cap):
+        u = ff_energy(ff, x)
+        if e_cap is not None:
+            u = regularize_energy(u, e_cap)
+        return -u / kBT
+
+    return Target(log_prob=log_prob, dim=(ff.n_atoms, 3), name="forcefield")
 
 
 def dihedral_angles(ff: ForceField, pos):
@@ -193,3 +206,64 @@ def dihedral_angles(ff: ForceField, pos):
                                pos[ff.torsion_idx[:, 1]],
                                pos[ff.torsion_idx[:, 2]],
                                pos[ff.torsion_idx[:, 3]])
+
+
+def zmatrix_to_cartesian(entries) -> np.ndarray:
+    """Build Cartesian coordinates from internal coordinates (NeRF).
+
+    ``entries`` is a list of ``[i, j, k, l, r, theta, phi]`` rows placing atom
+    ``i`` at distance ``r`` from ``j``, bond angle ``theta`` (radians) with
+    ``k``, and dihedral ``phi`` about ``j-k`` relative to ``l``. The first
+    three rows may use ``-1`` for missing references (first atom at the
+    origin, second along +x, third in the xy-plane). Atom indices are free —
+    rows must only reference already-placed atoms — so a parameter file can
+    carry its starting geometry as a ``zmatrix`` block (see
+    ``example/ala2_ff.yaml``).
+    """
+    n = max(int(e[0]) for e in entries) + 1
+    pos = np.zeros((n, 3))
+    for e in entries:
+        i, j, k, l = (int(v) for v in e[:4])
+        r, theta, phi = (float(v) for v in e[4:7])
+        if j < 0:                                     # first atom: origin
+            pos[i] = 0.0
+        elif k < 0:                                   # second: along +x
+            pos[i] = pos[j] + [r, 0.0, 0.0]
+        else:
+            # NeRF: bond i-j, angle i-j-k, dihedral i-j-k-l
+            ab = pos[k] - (pos[l] if l >= 0
+                           else pos[k] + np.array([0.0, 0.0, 1.0]))
+            bc = pos[j] - pos[k]
+            bc_u = bc / np.linalg.norm(bc)
+            n1 = np.cross(ab, bc)
+            if np.linalg.norm(n1) < 1e-10:            # colinear reference
+                n1 = np.cross(bc_u, [0.0, 0.0, 1.0])
+                if np.linalg.norm(n1) < 1e-10:
+                    n1 = np.cross(bc_u, [0.0, 1.0, 0.0])
+            n1 = n1 / np.linalg.norm(n1)
+            m1 = np.cross(n1, bc_u)
+            # sign of the n1 term chosen so that the requested phi equals
+            # the measured _dihedral(i, j, k, l) (IUPAC convention)
+            d2 = np.array([-r * np.cos(theta),
+                           r * np.sin(theta) * np.cos(phi),
+                           -r * np.sin(theta) * np.sin(phi)])
+            pos[i] = pos[j] + d2[0] * bc_u + d2[1] * m1 + d2[2] * n1
+    return pos
+
+
+def free_energy_profile(angles, kBT: float, bins: int = 36,
+                        weights=None):
+    """1-D dihedral free-energy profile ``F = -kBT log p`` over [-pi, pi].
+
+    ``angles [S]`` sampled torsion values (e.g. phi across an MCMC/SMC
+    ensemble); optional importance ``weights [S]``. Returns ``(centers [bins],
+    F [bins])`` with F shifted to min 0; empty bins are +inf.
+    """
+    angles = np.asarray(angles)
+    hist, edges = np.histogram(angles, bins=bins, range=(-np.pi, np.pi),
+                               weights=None if weights is None
+                               else np.asarray(weights), density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    with np.errstate(divide="ignore"):
+        F = -float(kBT) * np.log(hist)
+    return centers, F - F[np.isfinite(F)].min()

@@ -461,10 +461,16 @@ class Main:
                     pd = yaml.safe_load(f)
             else:
                 pd = section["params"]
-            ff = ForceField.from_dict(
-                pd, ke=float(section.get("coulomb_const", 1.0)))
-            t = forcefield_target(ff, kBT=kBT)
+            # Coulomb constant: target section > params file > 1.0 (the
+            # params file is self-describing, e.g. example/ala2_ff.yaml)
+            ke = section.get("coulomb_const", pd.get("coulomb_const", 1.0))
+            ff = ForceField.from_dict(pd, ke=float(ke))
+            e_cap = section.get("e_cap")
+            t = forcefield_target(
+                ff, kBT=kBT, e_cap=None if e_cap is None else float(e_cap))
             n_atoms = ff.n_atoms
+            # stash for dihedral observables in sample mode
+            self._ff, self._ff_params, self._ff_kBT = ff, pd, kBT
         else:
             raise ValueError(f"unknown target type {ttype!r}")
         return t, n_atoms
@@ -759,6 +765,29 @@ class Main:
         jax.block_until_ready(res.particles)
         ess = float(ess_from_log_weights(res.log_weights))
         out_path = sec.get("output", "samples.npz")
+
+        # force-field targets: attach dihedral observables + phi/psi
+        # free-energy profiles (importance-weighted) to the output
+        extra_out = {}
+        ff = getattr(self, "_ff", None)
+        if ff is not None:
+            from ..sample.forcefield import (dihedral_angles,
+                                             free_energy_profile)
+            ang = np.asarray(jax.vmap(lambda p: dihedral_angles(ff, p))(
+                res.particles["pos"]))
+            lw = np.asarray(res.log_weights)
+            w = np.exp(lw - lw.max())
+            w = w / w.sum()
+            extra_out["dihedrals"] = ang
+            for name in ("phi", "psi"):
+                i = self._ff_params.get(f"{name}_torsion_index")
+                if i is not None:
+                    c, F = free_energy_profile(
+                        ang[:, int(i)], self._ff_kBT,
+                        bins=int(sec.get("fe_bins", 36)), weights=w)
+                    extra_out[f"{name}_centers"] = c
+                    extra_out[f"{name}_free_energy"] = F
+
         np.savez(out_path,
                  pos=np.asarray(res.particles["pos"]),
                  vel=np.asarray(res.particles["vel"]),
@@ -766,7 +795,8 @@ class Main:
                  g=np.asarray(res.particles["g"]),
                  log_weights=np.asarray(res.log_weights),
                  log_Z=np.asarray(res.log_Z),
-                 ess_history=np.asarray(res.ess_history))
+                 ess_history=np.asarray(res.ess_history),
+                 **extra_out)
         if self.is_main:
             print(f"sampled {P} particles -> {out_path}  "
                   f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
