@@ -50,7 +50,7 @@ def lj_potential(pos, mask, softening):
 
 
 def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0,
-                      axis_name=None):
+                      axis_name=None, pair_impl="dense"):
     """Per-molecule latent log density ``[B]`` under the LJ-fluid base.
 
     ``ldj`` is the per-molecule log-det vector from ``flow.forward``. The
@@ -66,6 +66,10 @@ def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0,
     are psummed — the pairwise term goes blockwise around the ICI ring
     (``parallel/pairwise.py:ring_alchemical_lj``) instead of materializing
     the dense ``[B, N, N]`` matrix on one device.
+
+    ``pair_impl='pallas'`` (single-device large-N): the blockwise Pallas
+    kernel (``ops/pairwise_kernel.py``) — O(N) memory instead of O(N^2),
+    analytic custom-VJP gradient.
     """
     am = out.mask[..., None]
 
@@ -78,7 +82,11 @@ def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0,
         H = ring_alchemical_lj(out.pos, out.mask, softening, axis_name)
         n_atoms = jax.lax.psum(out.mask.sum(axis=1), axis_name)
     else:
-        H = lj_potential(out.pos, out.mask, softening)               # [B]
+        if pair_impl == "pallas":
+            from ..ops.pairwise_kernel import pallas_lj_potential
+            H = pallas_lj_potential(out.pos, out.mask, softening)    # [B]
+        else:
+            H = lj_potential(out.pos, out.mask, softening)           # [B]
         n_atoms = out.mask.sum(axis=1)
     H = H + 0.5 * _asum(jnp.where(am, out.vel * out.vel, 0.0))
     n_atoms = n_atoms.astype(out.pos.dtype)                          # [B]
@@ -90,7 +98,8 @@ def alchemical_log_px(out: System, ldj, kBT, softening, partition_func=10.0,
 
 
 def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0,
-                   num_log_gaussian_calls=3, axis_name=None):
+                   num_log_gaussian_calls=3, axis_name=None,
+                   pair_impl="dense"):
     """Scalar NLL for a batched flow output (reference loss.py:21-25).
 
     Exactly the reference value: the per-molecule terms are summed over real
@@ -105,7 +114,7 @@ def alchemical_nll(out: System, ldj, kBT, softening, partition_func=10.0,
     if axis_name:
         real = jax.lax.psum(real.astype(jnp.int32), axis_name) > 0
     per_mol = alchemical_log_px(out, ldj, kBT, softening, partition_func,
-                                axis_name=axis_name)
+                                axis_name=axis_name, pair_impl=pair_impl)
     num_mols = real.sum().astype(out.pos.dtype)
     log_px = (jnp.where(real, per_mol, 0.0).sum()
               + 0.5 * num_log_gaussian_calls * LOG_2PI * (num_mols - 1.0))

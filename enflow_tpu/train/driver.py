@@ -378,6 +378,10 @@ class Main:
         kBT, soft = self.lj_kBT, self.softening
         optimizer = self.optimizer
         n_lg = 3 if cfg.dequantizer == "argmax" else 2
+        # training.loss.pallas_pairwise: blockwise O(N)-memory pairwise term
+        # (ops/pairwise_kernel.py) for large single-device systems
+        pair_impl = ("pallas" if self.args.get("training", {}).get(
+            "loss", {}).get("pallas_pairwise") else "dense")
 
         if self.atom_axis > 1:
             from ..flow.sharded import make_sharded_nll
@@ -388,7 +392,8 @@ class Main:
             def nll_fn(p, batch, key):
                 out, ldj = forward(p, cfg, batch, key)
                 return alchemical_nll(out, ldj, kBT, soft,
-                                      num_log_gaussian_calls=n_lg)
+                                      num_log_gaussian_calls=n_lg,
+                                      pair_impl=pair_impl)
 
         @jax.jit
         def train_step(params, opt_state, batch, key):
