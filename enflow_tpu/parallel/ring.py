@@ -56,8 +56,6 @@ def ring_egcl(params, cfg: EGCLConfig, h_blk, pos_blk, mask_blk, box, r_cut,
     box_b = box[:, None, None, :].astype(pos_blk.dtype)
     r2_cut = (r_cut * r_cut)[:, None, None].astype(pos_blk.dtype)
 
-    hj_shape = (B, n_blk, n_blk, h_blk.shape[-1])
-
     def block(s, h_j, pos_j, mask_j):
         """Messages from the rotating block (originating shard my+s)."""
         diff = pos_blk[:, :, None, :] - pos_j[:, None, :, :]     # [B,bi,bj,3]
@@ -69,8 +67,7 @@ def ring_egcl(params, cfg: EGCLConfig, h_blk, pos_blk, mask_blk, box, r_cut,
         # self-pairs exist only on the s == 0 diagonal
         valid = valid & ~(jnp.where(s == 0, eye, jnp.zeros_like(eye)))
         diff = jnp.where(valid[..., None], diff, 0.0)
-        m, trans = edge_messages(params, cfg, h_blk,
-                                 jnp.broadcast_to(h_j[:, None], hj_shape),
+        m, trans = edge_messages(params, cfg, h_blk, h_j[:, None],
                                  diff, valid)
         return (m.sum(axis=2), trans.sum(axis=2),
                 valid.sum(axis=2).astype(jnp.int32))
