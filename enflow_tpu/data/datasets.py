@@ -230,7 +230,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, seed=0,
-                 dtype=jnp.float32, drop_last=False, shard=None):
+                 dtype=jnp.float32, drop_last=False, shard=None,
+                 prefetch=0):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -241,6 +242,10 @@ class DataLoader:
         self.num_shards, self.shard_index = shard or (1, 0)
         self.n_max = dataset.max_atoms
         self.node_nf = dataset.node_nf
+        # prefetch > 0: assemble up to that many padded batches ahead on a
+        # background thread, overlapping host-side sample access (lazy
+        # readers, page faults) with device compute. Order is unchanged.
+        self.prefetch = int(prefetch)
 
     def set_epoch(self, epoch: int):
         """Reseed shuffling per epoch (reference ``sampler.set_epoch``,
@@ -261,7 +266,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
         idx = self._indices()
         nb = len(self)
         for b in range(nb):
@@ -269,6 +274,34 @@ class DataLoader:
             samples = [self.dataset[i] for i in chunk]
             yield pad_samples(samples, self.n_max, self.node_nf, self.dtype,
                               n_mols=self.batch_size)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.prefetch)
+        _END, _ERR = object(), object()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:   # surface errors in the consumer
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
 
 
 # --- registry (the reference's reflection scheme, main.py:68) --------------

@@ -153,6 +153,11 @@ def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
         return nbrs, jnp.where(nbrs.mask[..., None], diff, 0.0)
     if mode == "cell":
         from .celllist import cell_neighbor_list
+        if capacity is None or cells_per_dim is None or cell_capacity is None:
+            raise ValueError(
+                "nbr_mode 'cell' needs nbr_capacity (per-atom neighbor "
+                "slots; 'auto' works), cells_per_dim and cell_capacity "
+                "(ints or 'auto' in the dynamics section)")
         nbrs = cell_neighbor_list(pos, box, mask, r_cut, capacity,
                                   cells_per_dim, cell_capacity)
     else:

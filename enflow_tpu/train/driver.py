@@ -236,7 +236,9 @@ class Main:
                 self.dataset, batch_size=batch_size,
                 shuffle=(self.mode == "train"), seed=self.seed,
                 dtype=self.dtype,
-                shard=(self.num_processes, self.process_index))
+                shard=(self.num_processes, self.process_index),
+                prefetch=(int(args.get("training", {}).get("prefetch", 2))
+                          if self.mode == "train" else 0))
             if self.atom_axis > 1:
                 # static batch shapes must split evenly over the atom axis
                 n_max = self.train_loader.n_max

@@ -102,3 +102,24 @@ def test_cell_mode_in_flow():
     back, _ = reverse_core(params, cfg_cell, out_c)
     np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys.pos),
                                atol=1e-8)
+
+
+def test_driver_cell_mode_auto(tmp_path, capsys):
+    """Driver e2e with nbr_mode: cell and auto-sized grid parameters."""
+    from test_driver import write_xyz_dataset, base_config, run_main
+
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz, n_frames=8, n_atoms=6)
+    cfg = base_config(tmp_path, xyz)
+    cfg["dynamics"]["nbr_mode"] = "cell"
+    cfg["dynamics"]["nbr_capacity"] = 6
+    cfg["training"]["num_epochs"] = 2
+    m = run_main(tmp_path, cfg)
+    assert m.flow_cfg.nbr_mode == "cell"
+    assert m.flow_cfg.cells_per_dim >= 1
+    assert m.flow_cfg.cell_capacity >= 4
+    out = capsys.readouterr()
+    rows = [l for l in out.out.split("\n") if l.strip() and l[0].isdigit()]
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r.split()[1])) for r in rows)
+    assert "cell list:" in out.err

@@ -284,3 +284,29 @@ def test_mddataset_native_fallback(tmp_path):
     assert s.z == ["C", "O", "C", "O"]
     # trr is nm; declared unit ang -> x10
     np.testing.assert_allclose(s.pos, frames[0]["pos"] * 10, atol=1e-6)
+
+
+def test_dataloader_prefetch_matches_sync():
+    """prefetch=N yields bitwise the same batch stream as the synchronous
+    path (order, padding, shuffling), and surfaces worker errors."""
+    d = toy(n_mols=10)
+    sync = DataLoader(d, batch_size=3, shuffle=True, seed=5)
+    pre = DataLoader(d, batch_size=3, shuffle=True, seed=5, prefetch=2)
+    sync.set_epoch(2)
+    pre.set_epoch(2)
+    a = list(sync)
+    b = list(pre)
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x.pos), np.asarray(y.pos))
+        np.testing.assert_array_equal(np.asarray(x.mask), np.asarray(y.mask))
+
+    class Boom(ToyDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    bad = Boom.__new__(Boom)
+    bad.__dict__.update(d.__dict__)
+    loader = DataLoader(bad, batch_size=3, prefetch=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
