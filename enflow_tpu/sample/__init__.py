@@ -1,6 +1,7 @@
 from . import targets
 from .forcefield import ForceField, ff_energy, forcefield_target
-from .mcmc import hmc_kernel, run_hmc, mala_kernel, dual_averaging_warmup
+from .mcmc import (hmc_kernel, tempered_hmc_kernel, run_hmc, mala_kernel,
+                   dual_averaging_warmup)
 from .nuts import nuts_kernel, run_nuts
 from .smc import (
     ess_from_log_weights,

@@ -69,6 +69,64 @@ def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
     return x_out, accept, jnp.where(accept, lp1, lp0)
 
 
+def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
+                        step_size, n_leapfrog: int, vals, grads):
+    """One HMC step targeting ``(1-beta) log_q0 + beta log_p`` with cached
+    per-component values and gradients.
+
+    ``vals = (lq0_x, lp_x)`` and ``grads = (glq0_x, glp_x)`` are the two
+    density components and their gradients at the current state. Caching the
+    *components* (rather than the tempered combination) lets the SMC anneal
+    loop reuse them across temperature changes: the tempered value/gradient at
+    any ``beta`` is a linear recombination, so neither the kernel's initial
+    gradient nor the incremental-weight evaluation at the next temperature
+    costs a density call. For flow-proposal targets each ``log_q0``
+    value/gradient is a full EGCL-flow forward/backward — with this caching
+    the per-temperature cost is exactly ``n_leapfrog`` flow value-and-grads
+    and nothing else (the final acceptance values ride along with the last
+    leapfrog gradient via ``value_and_grad``).
+
+    Returns ``(x', accepted, vals', grads')`` with the caches at the accepted
+    state.
+    """
+    vgq = jax.value_and_grad(log_q0)
+    vgp = jax.value_and_grad(log_p)
+    w0, w1 = 1.0 - beta, beta
+
+    def comb(gq, gp):
+        return jax.tree_util.tree_map(lambda a, b: w0 * a + w1 * b, gq, gp)
+
+    kmom, kacc = jax.random.split(key)
+    p0 = _tree_randn_like(kmom, x)
+
+    def leapfrog(carry, _):
+        q, p, gq, gp, _, _ = carry
+        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
+        q = _tree_axpy(step_size, p, q)
+        vq, gq = vgq(q)
+        vp, gp = vgp(q)
+        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
+        return (q, p, gq, gp, vq, vp), None
+
+    (q_new, p_new, gq_new, gp_new, vq_new, vp_new), _ = jax.lax.scan(
+        leapfrog, (x, p0, grads[0], grads[1], vals[0], vals[1]), None,
+        length=n_leapfrog)
+
+    lp0 = w0 * vals[0] + w1 * vals[1]
+    lp1 = w0 * vq_new + w1 * vp_new
+    h0 = -lp0 + 0.5 * _tree_dot(p0, p0)
+    h1 = -lp1 + 0.5 * _tree_dot(p_new, p_new)
+    accept = jnp.log(jax.random.uniform(kacc)) < h0 - h1
+
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda u, v: jnp.where(accept, u, v), a, b)
+    x_out = sel(q_new, x)
+    vals_out = (jnp.where(accept, vq_new, vals[0]),
+                jnp.where(accept, vp_new, vals[1]))
+    grads_out = (sel(gq_new, grads[0]), sel(gp_new, grads[1]))
+    return x_out, accept, vals_out, grads_out
+
+
 def mala_kernel(key, x, log_prob: Callable, step_size,
                 grad_log_prob: Callable | None = None):
     """One Metropolis-adjusted Langevin step for a single chain."""

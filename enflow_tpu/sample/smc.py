@@ -75,10 +75,6 @@ def _adaptive_delta(log_w, d, beta_prev, target_ess, n_bisect: int = 26):
     return jnp.where(ess_at(hi0) >= target_ess, hi0, lo)
 
 
-def _tempered(log_q0, log_p, beta):
-    return lambda x: (1.0 - beta) * log_q0(x) + beta * log_p(x)
-
-
 def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, adaptive: bool = False,
         target_ess_frac: float = 0.6, mcmc_steps: int = 2,
@@ -102,7 +98,7 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
 
     Returns ``SMCResult``; ``log_Z`` estimates ``log(Z_p / Z_q0)``.
     """
-    from .mcmc import hmc_kernel
+    from .mcmc import tempered_hmc_kernel
 
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -112,19 +108,25 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps = betas.shape[0]
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
-    lq0 = jax.vmap(log_q0)
-    lp = jax.vmap(log_p)
+    # Per-particle caches of the two density *components* and their
+    # gradients. Tempered values/gradients at any beta are linear
+    # recombinations, so across the whole anneal the only density work is
+    # the leapfrog value-and-grads inside the HMC kernel (for flow
+    # proposals, each log_q0 call is a full flow fwd/bwd — the hot path).
+    vgq0 = jax.vmap(jax.value_and_grad(log_q0))
+    vgp = jax.vmap(jax.value_and_grad(log_p))
+    lq0_0, glq0_0 = vgq0(x0)
+    lp_0, glp_0 = vgp(x0)
 
     def anneal_step(carry, inputs):
-        x, log_w, log_z, beta_carry = carry
+        x, log_w, log_z, beta_carry, lq0_x, lp_x, glq0_x, glp_x = carry
         beta_sched, beta_prev_sched, k = inputs
         k_res, k_mcmc = jax.random.split(k)
 
         # incremental weights: pi_beta / pi_beta_prev. log_w enters
         # normalized (logsumexp == 0), so the normalizer increment is
-        # log sum_i w_i * exp(inc_i). The component evaluations are cached
-        # and re-combined for the tempered target value the HMC kernel needs.
-        lq0_x, lp_x = lq0(x), lp(x)
+        # log sum_i w_i * exp(inc_i). The component evaluations come from
+        # the carried caches (no recomputation).
         d = lp_x - lq0_x
         if adaptive:
             beta_prev = beta_carry
@@ -140,13 +142,13 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         log_w = log_w - lse
         ess = ess_from_log_weights(log_w)
 
-        # adaptive systematic resampling (cached log-densities gathered too)
+        # adaptive systematic resampling (caches gathered alongside)
         def do_resample(args):
-            x, log_w, lq0_x, lp_x = args
+            x, log_w, lq0_x, lp_x, glq0_x, glp_x = args
             idx = systematic_resample(k_res, log_w)
-            x_r = jax.tree_util.tree_map(lambda a: a[idx], x)
-            return (x_r, jnp.full_like(log_w, -jnp.log(P * 1.0)),
-                    lq0_x[idx], lp_x[idx])
+            take = lambda t: jax.tree_util.tree_map(lambda a: a[idx], t)
+            return (take(x), jnp.full_like(log_w, -jnp.log(P * 1.0)),
+                    lq0_x[idx], lp_x[idx], take(glq0_x), take(glp_x))
 
         # Adaptive tempering resamples every active step (the increment is
         # chosen to land exactly at the target ESS, so weights would stay
@@ -154,35 +156,36 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         resample_now = ess < resample_threshold * P
         if adaptive:
             resample_now = resample_now | (beta < 1.0 - 1e-9)
-        x, log_w, lq0_x, lp_x = jax.lax.cond(
+        x, log_w, lq0_x, lp_x, glq0_x, glp_x = jax.lax.cond(
             resample_now, do_resample, lambda a: a,
-            (x, log_w, lq0_x, lp_x))
+            (x, log_w, lq0_x, lp_x, glq0_x, glp_x))
 
-        # HMC rejuvenation targeting pi_beta
-        target = _tempered(log_q0, log_p, beta)
+        # HMC rejuvenation targeting pi_beta, reusing the component caches
         kernel = jax.vmap(
-            lambda kk, xx, lpx: hmc_kernel(kk, xx, target, step_size,
-                                           n_leapfrog, log_prob_x=lpx))
+            lambda kk, xx, vals, grads: tempered_hmc_kernel(
+                kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+                vals, grads),
+            in_axes=(0, 0, 0, 0))
 
         def mcmc_sweep(i, xa):
-            x, acc, lp_comb = xa
+            x, acc, vals, grads = xa
             keys = jax.vmap(jax.random.fold_in, (0, None))(
                 jax.random.split(k_mcmc, P), i)
-            x, accepted, lp_comb = kernel(keys, x, lp_comb)
-            return x, acc + accepted.mean(), lp_comb
+            x, accepted, vals, grads = kernel(keys, x, vals, grads)
+            return x, acc + accepted.mean(), vals, grads
 
-        lp_comb0 = (1.0 - beta) * lq0_x + beta * lp_x
-        x, acc, _ = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep,
-                                      (x, 0.0, lp_comb0))
-        return ((x, log_w, log_z, beta),
+        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
+            0, mcmc_steps, mcmc_sweep,
+            (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
+        return ((x, log_w, log_z, beta, lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc / jnp.maximum(mcmc_steps, 1), beta))
 
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
-    (x, log_w, log_z, _), (ess_hist, acc_hist, beta_hist) = jax.lax.scan(
+    (x, log_w, log_z, _, *_), (ess_hist, acc_hist, beta_hist) = jax.lax.scan(
         anneal_step,
         (x0, init_w, jnp.zeros((), betas.dtype),
-         jnp.zeros((), betas.dtype)),
+         jnp.zeros((), betas.dtype), lq0_0, lp_0, glq0_0, glp_0),
         (betas, betas_prev, keys))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
@@ -197,7 +200,7 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
     estimate ``logmeanexp(log_w)``.
     """
-    from .mcmc import hmc_kernel
+    from .mcmc import tempered_hmc_kernel
 
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -207,37 +210,42 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps = betas.shape[0]
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
-    lq0 = jax.vmap(log_q0)
-    lp = jax.vmap(log_p)
+    # same component caching as smc() — see the comment there
+    vgq0 = jax.vmap(jax.value_and_grad(log_q0))
+    vgp = jax.vmap(jax.value_and_grad(log_p))
+    lq0_0, glq0_0 = vgq0(x0)
+    lp_0, glp_0 = vgp(x0)
 
     def anneal_step(carry, inputs):
-        x, log_w = carry
+        x, log_w, lq0_x, lp_x, glq0_x, glp_x = carry
         beta, beta_prev, k = inputs
         delta = beta - beta_prev
-        lq0_x, lp_x = lq0(x), lp(x)
         log_w = log_w + delta * (lp_x - lq0_x)
 
-        target = _tempered(log_q0, log_p, beta)
         kernel = jax.vmap(
-            lambda kk, xx, lpx: hmc_kernel(kk, xx, target, step_size,
-                                           n_leapfrog, log_prob_x=lpx))
+            lambda kk, xx, vals, grads: tempered_hmc_kernel(
+                kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+                vals, grads),
+            in_axes=(0, 0, 0, 0))
 
         def mcmc_sweep(i, xa):
-            x, acc, lp_comb = xa
+            x, acc, vals, grads = xa
             keys = jax.vmap(jax.random.fold_in, (0, None))(
                 jax.random.split(k, P), i)
-            x, accepted, lp_comb = kernel(keys, x, lp_comb)
-            return x, acc + accepted.mean(), lp_comb
+            x, accepted, vals, grads = kernel(keys, x, vals, grads)
+            return x, acc + accepted.mean(), vals, grads
 
-        lp_comb0 = (1.0 - beta) * lq0_x + beta * lp_x
-        x, acc, _ = jax.lax.fori_loop(0, mcmc_steps, mcmc_sweep,
-                                      (x, 0.0, lp_comb0))
+        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
+            0, mcmc_steps, mcmc_sweep,
+            (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
         ess = ess_from_log_weights(log_w)
-        return (x, log_w), (ess, acc / jnp.maximum(mcmc_steps, 1))
+        return ((x, log_w, lq0_x, lp_x, glq0_x, glp_x),
+                (ess, acc / jnp.maximum(mcmc_steps, 1)))
 
     keys = jax.random.split(key, n_temps)
-    (x, log_w), (ess_hist, acc_hist) = jax.lax.scan(
-        anneal_step, (x0, jnp.zeros((P,), betas.dtype)),
+    (x, log_w, *_), (ess_hist, acc_hist) = jax.lax.scan(
+        anneal_step, (x0, jnp.zeros((P,), betas.dtype),
+                      lq0_0, lp_0, glq0_0, glp_0),
         (betas, betas_prev, keys))
     log_z = (jax.scipy.special.logsumexp(log_w)
              - jnp.log(jnp.asarray(P, log_w.dtype)))
