@@ -71,9 +71,13 @@ class FlowConfig:
     dequant_scale: float = 1.0      # Floor dequantizer noise scale
     # Rematerialize each flow step under autodiff (jax.checkpoint on the
     # scan body): backward recomputes the [B,N,K,hidden] edge tensors
-    # instead of storing them per step — required for large-N systems
-    # (LJ55-class HMC through the flow OOMs 16 GB HBM without it).
-    remat: bool = False
+    # instead of storing them per step. Default ON — the edge tensors have
+    # low arithmetic intensity per residual byte, so recomputing beats
+    # spilling on TPU (measured on v5e at the bench workload: flow-SMC
+    # 3.5k -> 6.1k samples/s, NLL train step 13.0 -> 10.8 ms/batch), and
+    # large-N systems require it (LJ55-class HMC through the flow OOMs
+    # 16 GB HBM without it). Costs nothing when no gradient is taken.
+    remat: bool = True
     # Mesh axis name the *atom* dimension is sharded over (shard_map ring
     # EGCL, parallel/ring.py) — None for the single-device dense path. Set
     # by flow/sharded.py, not by hand: every function here then assumes it

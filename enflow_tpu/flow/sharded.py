@@ -58,7 +58,10 @@ def _sharded_cfg(cfg: FlowConfig, axis: str) -> FlowConfig:
             f"{cfg.nbr_mode!r} (top-k capacity is a global op)")
     if cfg.nbr_capacity is not None:
         raise ValueError("nbr_capacity is not supported in atom-sharded mode")
-    return dataclasses.replace(cfg, axis_name=axis)
+    # remat off inside shard_map: atom sharding already divides the edge
+    # activations by the mesh size, and rematerializing the ring EGCL would
+    # re-run every backward ppermute rotation (double ICI traffic)
+    return dataclasses.replace(cfg, axis_name=axis, remat=False)
 
 
 def sharded_forward(mesh: Mesh, params, cfg: FlowConfig, sys: System, key,

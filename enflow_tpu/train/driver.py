@@ -282,7 +282,7 @@ class Main:
             nbr_mode=dyn.get("nbr_mode", "dense"),
             **self._cell_params(dyn),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
-            remat=bool(dyn.get("remat", False)),
+            remat=bool(dyn.get("remat", True)),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)

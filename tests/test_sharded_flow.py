@@ -147,7 +147,9 @@ def test_sharded_nll_grad_matches_dense(mesh):
     def sharded_loss(p):
         specs = sh.system_specs("atom")
         import dataclasses
-        cfg_s = dataclasses.replace(cfg, axis_name="atom")
+        # remat=False mirrors _sharded_cfg: jax.checkpoint can't evaluate
+        # eagerly inside shard_map (and would re-run ring ppermutes backward)
+        cfg_s = dataclasses.replace(cfg, axis_name="atom", remat=False)
 
         def body(pp, s):
             out, ldj = forward_core(pp, cfg_s, s)
