@@ -94,11 +94,14 @@ def edge_messages(params, cfg: EGCLConfig, h_i, h_j, coord_diff, valid):
     displacement ``trans [..., I, J, 3]`` (egcl.py:71-73) — callers aggregate
     over J (and, for the ring path, accumulate across rotations).
 
-    (A split evaluation of the first layer — ``h_i @ W1_i + h_j @ W1_j +
-    r^2 * w1_r`` instead of the concat matmul — was tried and measured 21%
-    *slower* end-to-end on v5e at the bench workload: XLA already fuses the
-    narrow concat matmul well, and the split adds an extra materialized
-    [.., I, J, hidden] pre-activation. Keep the concat form.)
+    (A split evaluation of the first layer — node-level ``h_i @ W1_i`` /
+    ``h_j @ W1_j`` projections broadcast-added with the rank-1 ``r^2 * w1_r``
+    term instead of the K=2*nf+1 concat matmul — was measured TWICE on v5e
+    at the bench workload and lost both times: 21% slower pre-remat (extra
+    materialized [.., I, J, hidden] pre-activation, HBM-bound regime) and
+    3% slower post-remat (6073 -> 5879 samples/s; XLA fuses the narrow
+    concat into the dot well enough that the saved K=11 MXU pass doesn't
+    pay for the broadcast-add). Keep the concat form.)
     """
     radial = (coord_diff * coord_diff).sum(-1, keepdims=True)
     if cfg.norm_diff:
