@@ -35,7 +35,7 @@ N_LEAPFROG = 5
 KBT = 2.0
 
 
-def build(dtype=jnp.float32, compute_dtype="bfloat16"):
+def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None):
     from enflow_tpu.flow import FlowConfig, init_flow, forward_core, reverse_core
     from enflow_tpu.nn.egcl import EGCLConfig
     from enflow_tpu.data.system import System
@@ -82,6 +82,10 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16"):
             "pos": jax.random.normal(ks[2], (P, N_ATOMS, 3), dtype),
             "vel": jax.random.normal(ks[3], (P, N_ATOMS, 3), dtype),
         }
+        if constrain is not None:
+            # pin the particle axis to a mesh axis (bench_scaling.py);
+            # GSPMD propagates the sharding through the whole SMC program
+            z = jax.tree_util.tree_map(constrain, z)
 
         def rev_one(zz):
             sys_b, _ = reverse_core(params, cfg, to_system(zz))
@@ -100,10 +104,12 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16"):
     return run
 
 
-def timed_rate(run, P, repeats=3):
+def timed_rate(run, P, repeats=3, check=None):
     fn = jax.jit(lambda k: run(k, P))
     res = fn(jax.random.PRNGKey(1))          # compile + warm
     jax.block_until_ready(res.particles)
+    if check is not None:
+        check(res)                           # e.g. sharding sanity (bench_scaling)
     t0 = time.perf_counter()
     for i in range(repeats):
         res = fn(jax.random.PRNGKey(2 + i))

@@ -113,10 +113,14 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
     # recombinations, so across the whole anneal the only density work is
     # the leapfrog value-and-grads inside the HMC kernel (for flow
     # proposals, each log_q0 call is a full flow fwd/bwd — the hot path).
-    vgq0 = jax.vmap(jax.value_and_grad(log_q0))
-    vgp = jax.vmap(jax.value_and_grad(log_p))
-    lq0_0, glq0_0 = vgq0(x0)
-    lp_0, glp_0 = vgp(x0)
+    # With mcmc_steps == 0 no kernel ever runs: carry values only (None
+    # gradient leaves vanish from the pytrees).
+    if mcmc_steps > 0:
+        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
+        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
+    else:
+        lq0_0, lp_0 = jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0)
+        glq0_0 = glp_0 = None
 
     def anneal_step(carry, inputs):
         x, log_w, log_z, beta_carry, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -161,24 +165,27 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
             (x, log_w, lq0_x, lp_x, glq0_x, glp_x))
 
         # HMC rejuvenation targeting pi_beta, reusing the component caches
-        kernel = jax.vmap(
-            lambda kk, xx, vals, grads: tempered_hmc_kernel(
-                kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-                vals, grads),
-            in_axes=(0, 0, 0, 0))
+        acc = 0.0
+        if mcmc_steps > 0:
+            kernel = jax.vmap(
+                lambda kk, xx, vals, grads: tempered_hmc_kernel(
+                    kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+                    vals, grads),
+                in_axes=(0, 0, 0, 0))
 
-        def mcmc_sweep(i, xa):
-            x, acc, vals, grads = xa
-            keys = jax.vmap(jax.random.fold_in, (0, None))(
-                jax.random.split(k_mcmc, P), i)
-            x, accepted, vals, grads = kernel(keys, x, vals, grads)
-            return x, acc + accepted.mean(), vals, grads
+            def mcmc_sweep(i, xa):
+                x, acc, vals, grads = xa
+                keys = jax.vmap(jax.random.fold_in, (0, None))(
+                    jax.random.split(k_mcmc, P), i)
+                x, accepted, vals, grads = kernel(keys, x, vals, grads)
+                return x, acc + accepted.mean(), vals, grads
 
-        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
-            0, mcmc_steps, mcmc_sweep,
-            (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
+            x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
+                0, mcmc_steps, mcmc_sweep,
+                (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
+            acc = acc / mcmc_steps
         return ((x, log_w, log_z, beta, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc / jnp.maximum(mcmc_steps, 1), beta))
+                (ess, acc, beta))
 
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
@@ -211,10 +218,12 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
     # same component caching as smc() — see the comment there
-    vgq0 = jax.vmap(jax.value_and_grad(log_q0))
-    vgp = jax.vmap(jax.value_and_grad(log_p))
-    lq0_0, glq0_0 = vgq0(x0)
-    lp_0, glp_0 = vgp(x0)
+    if mcmc_steps > 0:
+        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
+        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
+    else:
+        lq0_0, lp_0 = jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0)
+        glq0_0 = glp_0 = None
 
     def anneal_step(carry, inputs):
         x, log_w, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -222,25 +231,28 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         delta = beta - beta_prev
         log_w = log_w + delta * (lp_x - lq0_x)
 
-        kernel = jax.vmap(
-            lambda kk, xx, vals, grads: tempered_hmc_kernel(
-                kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-                vals, grads),
-            in_axes=(0, 0, 0, 0))
+        acc = 0.0
+        if mcmc_steps > 0:
+            kernel = jax.vmap(
+                lambda kk, xx, vals, grads: tempered_hmc_kernel(
+                    kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+                    vals, grads),
+                in_axes=(0, 0, 0, 0))
 
-        def mcmc_sweep(i, xa):
-            x, acc, vals, grads = xa
-            keys = jax.vmap(jax.random.fold_in, (0, None))(
-                jax.random.split(k, P), i)
-            x, accepted, vals, grads = kernel(keys, x, vals, grads)
-            return x, acc + accepted.mean(), vals, grads
+            def mcmc_sweep(i, xa):
+                x, acc, vals, grads = xa
+                keys = jax.vmap(jax.random.fold_in, (0, None))(
+                    jax.random.split(k, P), i)
+                x, accepted, vals, grads = kernel(keys, x, vals, grads)
+                return x, acc + accepted.mean(), vals, grads
 
-        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
-            0, mcmc_steps, mcmc_sweep,
-            (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
+            x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
+                0, mcmc_steps, mcmc_sweep,
+                (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
+            acc = acc / mcmc_steps
         ess = ess_from_log_weights(log_w)
         return ((x, log_w, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc / jnp.maximum(mcmc_steps, 1)))
+                (ess, acc))
 
     keys = jax.random.split(key, n_temps)
     (x, log_w, *_), (ess_hist, acc_hist) = jax.lax.scan(

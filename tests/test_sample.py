@@ -87,6 +87,24 @@ def test_annealing_gaussian_logz(algo):
     assert np.isfinite(np.asarray(res.ess_history)).all()
 
 
+@pytest.mark.parametrize("algo", [smc, ais])
+def test_annealing_no_mcmc(algo):
+    """mcmc_steps=0 (plain annealed IS / SMC without rejuvenation) stays
+    supported and never computes density gradients (the value-only cache
+    path): logZ on the exact-Gaussian pair remains unbiased, acceptance
+    history is all zeros."""
+    d, P = 3, 1024
+    log_q0 = lambda x: -0.5 * (x**2).sum()
+    log_p = lambda x: -0.5 * (x**2).sum() / 0.25
+    x0 = jax.random.normal(jax.random.PRNGKey(40), (P, d), DTYPE)
+    res = jax.jit(lambda k, x: algo(k, x, log_q0=log_q0, log_p=log_p,
+                                    n_temps=24, mcmc_steps=0))(
+        jax.random.PRNGKey(41), x0)
+    expect = d * np.log(0.5)
+    assert float(res.log_Z) == pytest.approx(expect, abs=0.15)
+    assert np.asarray(res.accept_history).max() == 0.0
+
+
 def test_smc_lj13_smoke():
     """Flow-SMC shape: 13-atom LJ cluster target from a Gaussian proposal."""
     t = targets.lj_cluster(13, kBT=2.0)
