@@ -28,7 +28,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def maybe_initialize_distributed():
     """Initialize multi-host JAX from standard env vars when present
     (no-op single-host). SLURM-compatible like the reference's launcher
-    (reference __main__.py:6)."""
+    (reference __main__.py:6): an explicit ``COORDINATOR_ADDRESS`` wins,
+    else a multi-task SLURM allocation triggers JAX's cluster
+    auto-detection."""
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize(
             coordinator_address=os.environ["COORDINATOR_ADDRESS"],
@@ -37,6 +39,8 @@ def maybe_initialize_distributed():
             process_id=int(os.environ.get("SLURM_PROCID",
                                           os.environ.get("PROCESS_ID", 0))),
         )
+    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+        jax.distributed.initialize()    # SLURM env auto-detection
 
 
 def get_mesh(axes=("data",), shape=None, devices=None) -> Mesh:
@@ -52,13 +56,37 @@ def get_mesh(axes=("data",), shape=None, devices=None) -> Mesh:
     return Mesh(arr, axes)
 
 
-def shard_batch(batch, mesh: Mesh, axis="data"):
-    """Place a batched pytree with its leading axis sharded over ``axis``."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(batch, sharding)
+def _place(tree, sharding, from_process_local):
+    """Place host data onto a (possibly multi-host) sharding.
 
-
-def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (parameters/optimizer state) across the mesh."""
-    sharding = NamedSharding(mesh, P())
+    ``jax.device_put`` cannot target devices of other processes; on
+    multi-host meshes each process contributes its *local* block (its
+    loader shard for batches, its identical full copy for replicated
+    parameters) via ``jax.make_array_from_process_local_data`` — the
+    JAX-native counterpart of the reference's per-rank DistributedSampler
+    feed (reference main.py:142-143).
+    """
+    if from_process_local is None:
+        from_process_local = jax.process_count() > 1
+    if from_process_local:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis="data", from_process_local=None):
+    """Place a batched pytree with its leading axis sharded over ``axis``.
+
+    Multi-host: ``batch`` is this process's loader shard (global batch =
+    concatenation over processes); single-host: the full batch.
+    """
+    return _place(batch, NamedSharding(mesh, P(axis)), from_process_local)
+
+
+def replicate(tree, mesh: Mesh, from_process_local=None):
+    """Replicate a pytree (parameters/optimizer state) across the mesh.
+
+    Multi-host: every process must hold an identical copy (true for the
+    seeded parameter init and for checkpoint loads)."""
+    return _place(tree, NamedSharding(mesh, P()), from_process_local)
