@@ -58,9 +58,13 @@ def _sharded_cfg(cfg: FlowConfig, axis: str) -> FlowConfig:
             f"{cfg.nbr_mode!r} (top-k capacity is a global op)")
     if cfg.nbr_capacity is not None:
         raise ValueError("nbr_capacity is not supported in atom-sharded mode")
-    # remat off inside shard_map: atom sharding already divides the edge
-    # activations by the mesh size, and rematerializing the ring EGCL would
-    # re-run every backward ppermute rotation (double ICI traffic)
+    # remat is forcibly disabled inside shard_map. Functional constraint:
+    # jax.checkpoint cannot evaluate eagerly inside shard_map ("Eager
+    # evaluation of closed_call isn't yet supported"), so a remat'd scan
+    # body breaks any non-jitted grad of the sharded flow. It is also
+    # unwanted here: atom sharding already divides the edge activations by
+    # the mesh size, and rematerializing the ring EGCL would re-run every
+    # backward ppermute rotation (double ICI traffic).
     return dataclasses.replace(cfg, axis_name=axis, remat=False)
 
 

@@ -82,9 +82,10 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
     gradient nor the incremental-weight evaluation at the next temperature
     costs a density call. For flow-proposal targets each ``log_q0``
     value/gradient is a full EGCL-flow forward/backward — with this caching
-    the per-temperature cost is exactly ``n_leapfrog`` flow value-and-grads
-    and nothing else (the final acceptance values ride along with the last
-    leapfrog gradient via ``value_and_grad``).
+    each kernel invocation costs exactly ``n_leapfrog`` flow value-and-grads
+    and nothing else (``mcmc_steps * n_leapfrog`` per SMC temperature; the
+    final acceptance values ride along with the last leapfrog gradient via
+    ``value_and_grad``).
 
     Returns ``(x', accepted, vals', grads')`` with the caches at the accepted
     state.

@@ -75,6 +75,48 @@ def _adaptive_delta(log_w, d, beta_prev, target_ess, n_bisect: int = 26):
     return jnp.where(ess_at(hi0) >= target_ess, hi0, lo)
 
 
+def _init_component_caches(log_q0, log_p, x0, mcmc_steps):
+    """Per-particle caches of the two density *components* (and, when HMC
+    rejuvenation will run, their gradients). Tempered values/gradients at any
+    beta are linear recombinations, so across the whole anneal the only
+    density work is the leapfrog value-and-grads inside the HMC kernel (for
+    flow proposals, each log_q0 call is a full flow fwd/bwd — the hot path).
+    With mcmc_steps == 0 no kernel ever runs: values only (None gradient
+    leaves vanish from the pytrees)."""
+    if mcmc_steps > 0:
+        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
+        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
+        return lq0_0, lp_0, glq0_0, glp_0
+    return jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0), None, None
+
+
+def _rejuvenate(k, x, beta, vals, grads, *, log_q0, log_p, mcmc_steps,
+                step_size, n_leapfrog, P):
+    """``mcmc_steps`` tempered-HMC sweeps over all particles, threading the
+    component caches. Returns ``(x, mean_accept, vals, grads)``."""
+    from .mcmc import tempered_hmc_kernel
+
+    if mcmc_steps <= 0:
+        return x, 0.0, vals, grads
+
+    kernel = jax.vmap(
+        lambda kk, xx, vals, grads: tempered_hmc_kernel(
+            kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+            vals, grads),
+        in_axes=(0, 0, 0, 0))
+
+    def mcmc_sweep(i, xa):
+        x, acc, vals, grads = xa
+        keys = jax.vmap(jax.random.fold_in, (0, None))(
+            jax.random.split(k, P), i)
+        x, accepted, vals, grads = kernel(keys, x, vals, grads)
+        return x, acc + accepted.mean(), vals, grads
+
+    x, acc, vals, grads = jax.lax.fori_loop(
+        0, mcmc_steps, mcmc_sweep, (x, 0.0, vals, grads))
+    return x, acc / mcmc_steps, vals, grads
+
+
 def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, adaptive: bool = False,
         target_ess_frac: float = 0.6, mcmc_steps: int = 2,
@@ -98,8 +140,6 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
 
     Returns ``SMCResult``; ``log_Z`` estimates ``log(Z_p / Z_q0)``.
     """
-    from .mcmc import tempered_hmc_kernel
-
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
         betas = jnp.linspace(1.0 / n_temps, 1.0, n_temps)
@@ -108,19 +148,8 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps = betas.shape[0]
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
-    # Per-particle caches of the two density *components* and their
-    # gradients. Tempered values/gradients at any beta are linear
-    # recombinations, so across the whole anneal the only density work is
-    # the leapfrog value-and-grads inside the HMC kernel (for flow
-    # proposals, each log_q0 call is a full flow fwd/bwd — the hot path).
-    # With mcmc_steps == 0 no kernel ever runs: carry values only (None
-    # gradient leaves vanish from the pytrees).
-    if mcmc_steps > 0:
-        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
-        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
-    else:
-        lq0_0, lp_0 = jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0)
-        glq0_0 = glp_0 = None
+    lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
+        log_q0, log_p, x0, mcmc_steps)
 
     def anneal_step(carry, inputs):
         x, log_w, log_z, beta_carry, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -165,25 +194,10 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
             (x, log_w, lq0_x, lp_x, glq0_x, glp_x))
 
         # HMC rejuvenation targeting pi_beta, reusing the component caches
-        acc = 0.0
-        if mcmc_steps > 0:
-            kernel = jax.vmap(
-                lambda kk, xx, vals, grads: tempered_hmc_kernel(
-                    kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-                    vals, grads),
-                in_axes=(0, 0, 0, 0))
-
-            def mcmc_sweep(i, xa):
-                x, acc, vals, grads = xa
-                keys = jax.vmap(jax.random.fold_in, (0, None))(
-                    jax.random.split(k_mcmc, P), i)
-                x, accepted, vals, grads = kernel(keys, x, vals, grads)
-                return x, acc + accepted.mean(), vals, grads
-
-            x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
-                0, mcmc_steps, mcmc_sweep,
-                (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
-            acc = acc / mcmc_steps
+        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
+            k_mcmc, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
+            log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
+            step_size=step_size, n_leapfrog=n_leapfrog, P=P)
         return ((x, log_w, log_z, beta, lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc, beta))
 
@@ -207,8 +221,6 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
     estimate ``logmeanexp(log_w)``.
     """
-    from .mcmc import tempered_hmc_kernel
-
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
         betas = jnp.linspace(1.0 / n_temps, 1.0, n_temps)
@@ -217,13 +229,8 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps = betas.shape[0]
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
-    # same component caching as smc() — see the comment there
-    if mcmc_steps > 0:
-        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
-        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
-    else:
-        lq0_0, lp_0 = jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0)
-        glq0_0 = glp_0 = None
+    lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
+        log_q0, log_p, x0, mcmc_steps)
 
     def anneal_step(carry, inputs):
         x, log_w, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -231,25 +238,10 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         delta = beta - beta_prev
         log_w = log_w + delta * (lp_x - lq0_x)
 
-        acc = 0.0
-        if mcmc_steps > 0:
-            kernel = jax.vmap(
-                lambda kk, xx, vals, grads: tempered_hmc_kernel(
-                    kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-                    vals, grads),
-                in_axes=(0, 0, 0, 0))
-
-            def mcmc_sweep(i, xa):
-                x, acc, vals, grads = xa
-                keys = jax.vmap(jax.random.fold_in, (0, None))(
-                    jax.random.split(k, P), i)
-                x, accepted, vals, grads = kernel(keys, x, vals, grads)
-                return x, acc + accepted.mean(), vals, grads
-
-            x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = jax.lax.fori_loop(
-                0, mcmc_steps, mcmc_sweep,
-                (x, 0.0, (lq0_x, lp_x), (glq0_x, glp_x)))
-            acc = acc / mcmc_steps
+        x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
+            k, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
+            log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
+            step_size=step_size, n_leapfrog=n_leapfrog, P=P)
         ess = ess_from_log_weights(log_w)
         return ((x, log_w, lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc))
