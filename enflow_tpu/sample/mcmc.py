@@ -29,8 +29,11 @@ def _tree_dot(a, b):
 
 
 def _tree_axpy(alpha, x, y):
-    """alpha * x + y over pytrees."""
-    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, x, y)
+    """alpha * x + y over pytrees. ``alpha`` is cast to each leaf's dtype so
+    a strongly-typed f64 scalar (e.g. a beta/step-size from an x64 schedule)
+    can't promote f32 particle states out of their loop-carry type."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(alpha, b.dtype) * a + b, x, y)
 
 
 def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
@@ -95,7 +98,10 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
     w0, w1 = 1.0 - beta, beta
 
     def comb(gq, gp):
-        return jax.tree_util.tree_map(lambda a, b: w0 * a + w1 * b, gq, gp)
+        # per-leaf cast: see _tree_axpy
+        return jax.tree_util.tree_map(
+            lambda a, b: (jnp.asarray(w0, a.dtype) * a
+                          + jnp.asarray(w1, b.dtype) * b), gq, gp)
 
     kmom, kacc = jax.random.split(key)
     p0 = _tree_randn_like(kmom, x)

@@ -105,6 +105,21 @@ def test_annealing_no_mcmc(algo):
     assert np.asarray(res.accept_history).max() == 0.0
 
 
+@pytest.mark.parametrize("algo", [smc, ais])
+def test_annealing_f32_particles_under_x64(algo):
+    """f32 particle states must survive the anneal untouched even when the
+    beta schedule is strongly-typed f64 (x64 mode, as here): the HMC tree
+    ops cast scalar coefficients per leaf instead of promoting the carry."""
+    t = targets.lj_cluster(4, kBT=2.0)
+    x0 = 1.2 * jax.random.normal(jax.random.PRNGKey(30), (16, 4, 3),
+                                 jnp.float32)
+    log_q0 = lambda x: -0.5 * (x**2).sum() / 1.44
+    res = algo(jax.random.PRNGKey(31), x0, log_q0=log_q0, log_p=t.log_prob,
+               n_temps=3, mcmc_steps=1, step_size=0.02, n_leapfrog=2)
+    assert res.particles.dtype == jnp.float32
+    assert np.isfinite(float(res.log_Z))
+
+
 def test_smc_lj13_smoke():
     """Flow-SMC shape: 13-atom LJ cluster target from a Gaussian proposal."""
     t = targets.lj_cluster(13, kBT=2.0)
