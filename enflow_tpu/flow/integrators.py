@@ -131,6 +131,12 @@ def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
         return ring_egcl(net_params, cfg.egcl, sys.h, sys.pos, sys.mask,
                          sys.box, sys.r_cut, cfg.axis_name,
                          nbr_mode=cfg.nbr_mode)
+    if (cfg.nbr_mode == "all_pairs" and cfg.egcl.use_pallas
+            and not (cfg.egcl.attention or cfg.egcl.norm_diff
+                     or cfg.egcl.tanh)):
+        from ..nn.egcl import apply_egcl_fused_allpairs
+        return apply_egcl_fused_allpairs(net_params, cfg.egcl, sys.h,
+                                         sys.pos, sys.box, sys.mask)
     nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
                                     cfg.nbr_capacity, cfg.nbr_mode,
                                     cfg.cells_per_dim, cfg.cell_capacity)

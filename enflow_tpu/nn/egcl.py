@@ -192,6 +192,31 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
     return Q, F, G
 
 
+def apply_egcl_fused_allpairs(params, cfg: EGCLConfig, h, pos, box,
+                              atom_mask, mol_tile=None):
+    """EGCL via the v2 fused all-pairs Pallas kernel (ops/egcl_fused.py).
+
+    Takes raw per-atom state — no ``[B,N,K,·]`` displacement/edge tensors are
+    ever materialized in HBM. Requires ``nbr_mode == 'all_pairs'`` semantics
+    and attention/norm_diff/tanh off. Same ``(Q, F, G)`` contract as
+    :func:`apply_egcl`.
+    """
+    from ..ops.egcl_fused import fused_allpairs_edges
+
+    in_dtype = h.dtype
+    if cfg.compute_dtype is not None:
+        cdt = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
+        h = h.astype(cdt)
+    agg, f_sum, count = fused_allpairs_edges(params, h, pos, box, atom_mask,
+                                             mol_tile=mol_tile)
+    Q, F, G = node_outputs(params, cfg, h, agg, f_sum, count, atom_mask)
+    if cfg.compute_dtype is not None:
+        Q, F, G = (Q.astype(in_dtype), F.astype(in_dtype),
+                   G.astype(in_dtype))
+    return Q, F, G
+
+
 def _apply_egcl_fused(params, cfg: EGCLConfig, h, edge_in, coord_diff,
                       nbr_mask, am, in_dtype):
     """EGCL tail using the fused Pallas edge pipeline (ops/edge_kernel.py)."""

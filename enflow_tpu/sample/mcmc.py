@@ -36,6 +36,36 @@ def _tree_axpy(alpha, x, y):
         lambda a, b: jnp.asarray(alpha, b.dtype) * a + b, x, y)
 
 
+def batched_value_and_grad(f: Callable) -> Callable:
+    """Batched value-and-grad of a per-particle density: ``f`` maps a
+    ``[P, ...]`` pytree to ``[P]`` log-densities; returns ``(vals [P],
+    grads [P, ...])``.
+
+    Equivalent to ``vmap(value_and_grad(f_single))`` when particles are
+    independent (one cotangent of ones recovers every per-particle gradient),
+    but keeps the whole computation one batched program — so fused kernels
+    (e.g. the Pallas EGCL edge pipeline) see the full particle batch instead
+    of vmapped B=1 slices, and XLA schedules one large matmul stream.
+    """
+    def vg(x):
+        vals, pull = jax.vjp(f, x)
+        (g,) = pull(jnp.ones_like(vals))
+        return vals, g
+    return vg
+
+
+def _bcast_to(v, leaf):
+    """Reshape a ``[P]`` vector for broadcasting against a ``[P, ...]`` leaf."""
+    return v.reshape(v.shape + (1,) * (leaf.ndim - v.ndim))
+
+
+def _tree_dot_batched(a, b):
+    """Per-particle inner product over pytrees with leading ``[P]`` axes."""
+    return sum((x * y).sum(axis=tuple(range(1, x.ndim)))
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
 def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
                grad_log_prob: Callable | None = None, log_prob_x=None):
     """One HMC step for a single chain. Returns ``(x', accepted, log_prob')``.
@@ -127,6 +157,51 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
 
     sel = lambda a, b: jax.tree_util.tree_map(
         lambda u, v: jnp.where(accept, u, v), a, b)
+    x_out = sel(q_new, x)
+    vals_out = (jnp.where(accept, vq_new, vals[0]),
+                jnp.where(accept, vp_new, vals[1]))
+    grads_out = (sel(gq_new, grads[0]), sel(gp_new, grads[1]))
+    return x_out, accept, vals_out, grads_out
+
+
+def tempered_hmc_kernel_batched(key, x, vgq: Callable, vgp: Callable, beta,
+                                step_size, n_leapfrog: int, vals, grads):
+    """Batched-particle :func:`tempered_hmc_kernel`: ``x`` is ``[P, ...]``;
+    ``vgq``/``vgp`` are *batched* value-and-grad callables (see
+    :func:`batched_value_and_grad`) returning ``([P], [P, ...])``. One key
+    drives all particles (leading-axis draws are independent). Same component
+    caching contract as the per-chain kernel."""
+    w0, w1 = 1.0 - beta, beta
+
+    def comb(gq, gp):
+        return jax.tree_util.tree_map(
+            lambda a, b: (jnp.asarray(w0, a.dtype) * a
+                          + jnp.asarray(w1, b.dtype) * b), gq, gp)
+
+    kmom, kacc = jax.random.split(key)
+    p0 = _tree_randn_like(kmom, x)
+
+    def leapfrog(carry, _):
+        q, p, gq, gp, _, _ = carry
+        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
+        q = _tree_axpy(step_size, p, q)
+        vq, gq = vgq(q)
+        vp, gp = vgp(q)
+        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
+        return (q, p, gq, gp, vq, vp), None
+
+    (q_new, p_new, gq_new, gp_new, vq_new, vp_new), _ = jax.lax.scan(
+        leapfrog, (x, p0, grads[0], grads[1], vals[0], vals[1]), None,
+        length=n_leapfrog)
+
+    lp0 = w0 * vals[0] + w1 * vals[1]                       # [P]
+    lp1 = w0 * vq_new + w1 * vp_new
+    h0 = -lp0 + 0.5 * _tree_dot_batched(p0, p0)
+    h1 = -lp1 + 0.5 * _tree_dot_batched(p_new, p_new)
+    accept = jnp.log(jax.random.uniform(kacc, lp0.shape, lp0.dtype)) < h0 - h1
+
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda u, v: jnp.where(_bcast_to(accept, u), u, v), a, b)
     x_out = sel(q_new, x)
     vals_out = (jnp.where(accept, vq_new, vals[0]),
                 jnp.where(accept, vp_new, vals[1]))

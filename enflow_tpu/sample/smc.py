@@ -75,40 +75,64 @@ def _adaptive_delta(log_w, d, beta_prev, target_ess, n_bisect: int = 26):
     return jnp.where(ess_at(hi0) >= target_ess, hi0, lo)
 
 
-def _init_component_caches(log_q0, log_p, x0, mcmc_steps):
+def _init_component_caches(log_q0, log_p, x0, mcmc_steps,
+                           batched: bool = False):
     """Per-particle caches of the two density *components* (and, when HMC
     rejuvenation will run, their gradients). Tempered values/gradients at any
     beta are linear recombinations, so across the whole anneal the only
     density work is the leapfrog value-and-grads inside the HMC kernel (for
     flow proposals, each log_q0 call is a full flow fwd/bwd — the hot path).
     With mcmc_steps == 0 no kernel ever runs: values only (None gradient
-    leaves vanish from the pytrees)."""
+    leaves vanish from the pytrees).
+
+    ``batched``: the densities map ``[P, ...]`` pytrees to ``[P]`` values
+    directly (see :func:`..sample.mcmc.batched_value_and_grad`) — one fused
+    program over the particle axis instead of ``vmap`` over per-particle
+    callables."""
+    from .mcmc import batched_value_and_grad
+
     if mcmc_steps > 0:
-        lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
-        lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
+        if batched:
+            lq0_0, glq0_0 = batched_value_and_grad(log_q0)(x0)
+            lp_0, glp_0 = batched_value_and_grad(log_p)(x0)
+        else:
+            lq0_0, glq0_0 = jax.vmap(jax.value_and_grad(log_q0))(x0)
+            lp_0, glp_0 = jax.vmap(jax.value_and_grad(log_p))(x0)
         return lq0_0, lp_0, glq0_0, glp_0
+    if batched:
+        return log_q0(x0), log_p(x0), None, None
     return jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0), None, None
 
 
 def _rejuvenate(k, x, beta, vals, grads, *, log_q0, log_p, mcmc_steps,
-                step_size, n_leapfrog, P):
+                step_size, n_leapfrog, P, batched: bool = False):
     """``mcmc_steps`` tempered-HMC sweeps over all particles, threading the
     component caches. Returns ``(x, mean_accept, vals, grads)``."""
-    from .mcmc import tempered_hmc_kernel
+    from .mcmc import (batched_value_and_grad, tempered_hmc_kernel,
+                       tempered_hmc_kernel_batched)
 
     if mcmc_steps <= 0:
         return x, 0.0, vals, grads
 
-    kernel = jax.vmap(
-        lambda kk, xx, vals, grads: tempered_hmc_kernel(
-            kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-            vals, grads),
-        in_axes=(0, 0, 0, 0))
+    if batched:
+        vgq = batched_value_and_grad(log_q0)
+        vgp = batched_value_and_grad(log_p)
+        kernel = lambda kk, xx, vals, grads: tempered_hmc_kernel_batched(
+            kk, xx, vgq, vgp, beta, step_size, n_leapfrog, vals, grads)
+    else:
+        kernel = jax.vmap(
+            lambda kk, xx, vals, grads: tempered_hmc_kernel(
+                kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
+                vals, grads),
+            in_axes=(0, 0, 0, 0))
 
     def mcmc_sweep(i, xa):
         x, acc, vals, grads = xa
-        keys = jax.vmap(jax.random.fold_in, (0, None))(
-            jax.random.split(k, P), i)
+        if batched:
+            keys = jax.random.fold_in(k, i)
+        else:
+            keys = jax.vmap(jax.random.fold_in, (0, None))(
+                jax.random.split(k, P), i)
         x, accepted, vals, grads = kernel(keys, x, vals, grads)
         return x, acc + accepted.mean(), vals, grads
 
@@ -121,7 +145,8 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, adaptive: bool = False,
         target_ess_frac: float = 0.6, mcmc_steps: int = 2,
         step_size=0.05, n_leapfrog: int = 5,
-        resample_threshold: float = 0.5) -> SMCResult:
+        resample_threshold: float = 0.5,
+        batched: bool = False) -> SMCResult:
     """Tempered SMC from proposal samples to the target.
 
     Args:
@@ -137,6 +162,11 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         extra MCMC refinement sweeps).
       mcmc_steps: HMC rejuvenation sweeps per temperature.
       resample_threshold: resample when ESS < threshold * P.
+      batched: ``log_q0``/``log_p`` are *batched* — they map the full
+        ``[P, ...]`` particle pytree to ``[P]`` log-densities in one program
+        (gradients via one ones-cotangent VJP). Use for densities whose
+        internals want the whole particle batch at once, e.g. flows running
+        the fused Pallas EGCL kernel.
 
     Returns ``SMCResult``; ``log_Z`` estimates ``log(Z_p / Z_q0)``.
     """
@@ -149,7 +179,7 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
     lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
-        log_q0, log_p, x0, mcmc_steps)
+        log_q0, log_p, x0, mcmc_steps, batched)
 
     def anneal_step(carry, inputs):
         x, log_w, log_z, beta_carry, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -197,7 +227,8 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
             k_mcmc, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
-            step_size=step_size, n_leapfrog=n_leapfrog, P=P)
+            step_size=step_size, n_leapfrog=n_leapfrog, P=P,
+            batched=batched)
         return ((x, log_w, log_z, beta, lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc, beta))
 
@@ -215,11 +246,11 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
 
 def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, mcmc_steps: int = 2, step_size=0.05,
-        n_leapfrog: int = 5) -> SMCResult:
+        n_leapfrog: int = 5, batched: bool = False) -> SMCResult:
     """Annealed importance sampling: SMC machinery without resampling.
 
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
-    estimate ``logmeanexp(log_w)``.
+    estimate ``logmeanexp(log_w)``. ``batched`` as in :func:`smc`.
     """
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -230,7 +261,7 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
 
     lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
-        log_q0, log_p, x0, mcmc_steps)
+        log_q0, log_p, x0, mcmc_steps, batched)
 
     def anneal_step(carry, inputs):
         x, log_w, lq0_x, lp_x, glq0_x, glp_x = carry
@@ -241,7 +272,8 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
             k, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
-            step_size=step_size, n_leapfrog=n_leapfrog, P=P)
+            step_size=step_size, n_leapfrog=n_leapfrog, P=P,
+            batched=batched)
         ess = ess_from_log_weights(log_w)
         return ((x, log_w, lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc))
