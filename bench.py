@@ -50,30 +50,34 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None):
                      nbr_mode="all_pairs")
     params = init_flow(jax.random.PRNGKey(0), cfg, dtype)
 
+    box = jnp.full((1, 3), 1e3, dtype)       # cluster: effectively no PBC
+    r_cut = jnp.full((1,), 1e2, dtype)
+    mask = jnp.ones((1, N_ATOMS), bool)
+
+    # Per-particle densities + vmap, NOT smc(batched=True): A/B on v5e
+    # measured the vmapped SMC at 6081 samples/s vs 5640 batched (isolated
+    # flow fwd is faster batched, but the full anneal compiles better under
+    # vmap). smc(batched=True) remains the right call for fused-kernel
+    # regimes; see sample/smc.py.
     def to_system(x):
-        # batched: particles are the molecule axis [P, N, ...] directly —
-        # measured 38%/16% faster fwd/fwd+bwd than vmapping a B=1 System
-        # over particles (no degenerate [P,1,N,..] dims, one matmul stream)
-        P = x["h"].shape[0]
-        return System(
-            h=x["h"], g=x["g"], pos=x["pos"], vel=x["vel"],
-            mask=jnp.ones((P, N_ATOMS), bool),
-            box=jnp.full((P, 3), 1e3, dtype),      # cluster: no PBC
-            r_cut=jnp.full((P,), 1e2, dtype))
+        return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                      vel=x["vel"][None], mask=mask, box=box, r_cut=r_cut)
 
     def gauss(sys_b):
-        return -0.5 * sum((f * f).sum(axis=(1, 2))
-                          for f in (sys_b.h, sys_b.g, sys_b.vel))
+        tot = 0.0
+        for f in (sys_b.h, sys_b.g, sys_b.vel):
+            tot = tot + (f * f).sum()
+        return -0.5 * tot
 
     cluster = targets.lj_cluster(N_ATOMS, kBT=KBT)
 
     def log_q0(x):
-        # flow-pushforward density: base(f(x)) + ldj_f(x), per particle [P]
+        # flow-pushforward density: base(f(x)) + ldj_f(x)
         out, ldj = forward_core(params, cfg, to_system(x))
-        return gauss(out) - 0.5 * (out.pos ** 2).sum(axis=(1, 2)) + ldj
+        return gauss(out) - 0.5 * (out.pos ** 2).sum() + ldj[0]
 
     def log_p(x):
-        return jax.vmap(cluster.log_prob)(x["pos"]) + gauss(to_system(x))
+        return cluster.log_prob(x["pos"]) + gauss(to_system(x))
 
     def propose(key, P):
         ks = jax.random.split(key, 4)
@@ -87,16 +91,20 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None):
             # pin the particle axis to a mesh axis (bench_scaling.py);
             # GSPMD propagates the sharding through the whole SMC program
             z = jax.tree_util.tree_map(constrain, z)
-        sys_b, _ = reverse_core(params, cfg, to_system(z))
-        return {"h": sys_b.h, "g": sys_b.g, "pos": sys_b.pos,
-                "vel": sys_b.vel}
+
+        def rev_one(zz):
+            sys_b, _ = reverse_core(params, cfg, to_system(zz))
+            return {"h": sys_b.h[0], "g": sys_b.g[0], "pos": sys_b.pos[0],
+                    "vel": sys_b.vel[0]}
+
+        return jax.vmap(rev_one)(z)
 
     def run(key, P):
         kp, ks = jax.random.split(key)
         x0 = propose(kp, P)
         return smc(ks, x0, log_q0=log_q0, log_p=log_p, n_temps=N_TEMPS,
                    mcmc_steps=MCMC_STEPS, step_size=0.02,
-                   n_leapfrog=N_LEAPFROG, batched=True)
+                   n_leapfrog=N_LEAPFROG)
 
     return run
 

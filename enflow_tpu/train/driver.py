@@ -714,28 +714,30 @@ class Main:
         r_cut = float(sec["target"].get("r_cut", 1e2))
         params, cfg, dtype = self.params, self.flow_cfg, self.dtype
         node_nf = self.node_nf
+        mask = jnp.ones((1, n_atoms), bool)
+        boxa = jnp.full((1, 3), box, dtype)
+        r_cuta = jnp.full((1,), r_cut, dtype)
 
+        # Per-particle densities + vmap, NOT smc(batched=True): A/B on v5e
+        # measured the vmapped SMC ~8% faster end-to-end at bench shapes
+        # (see bench.py). batched=True is for fused-kernel regimes.
         def to_system(x):
-            # particles ride the molecule axis [P, N, ...] directly (not a
-            # vmapped B=1 System) — measured ~2x faster flow-SMC on v5e:
-            # no degenerate dims, one matmul stream through the EGCLs
-            Pb = x["h"].shape[0]
-            return System(h=x["h"], g=x["g"], pos=x["pos"], vel=x["vel"],
-                          mask=jnp.ones((Pb, n_atoms), bool),
-                          box=jnp.full((Pb, 3), box, dtype),
-                          r_cut=jnp.full((Pb,), r_cut, dtype))
+            return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                          vel=x["vel"][None], mask=mask, box=boxa,
+                          r_cut=r_cuta)
 
         def gauss_aux(sys_b):
-            return -0.5 * sum((f * f).sum(axis=(1, 2))
-                              for f in (sys_b.h, sys_b.g, sys_b.vel))
+            tot = 0.0
+            for f in (sys_b.h, sys_b.g, sys_b.vel):
+                tot = tot + (f * f).sum()
+            return -0.5 * tot
 
         def log_q0(x):
             out, ldj = forward_core(params, cfg, to_system(x))
-            return gauss_aux(out) - 0.5 * (out.pos ** 2).sum(axis=(1, 2)) + ldj
+            return gauss_aux(out) - 0.5 * (out.pos ** 2).sum() + ldj[0]
 
         def log_p(x):
-            return jax.vmap(target.log_prob)(x["pos"]) + gauss_aux(
-                to_system(x))
+            return target.log_prob(x["pos"]) + gauss_aux(to_system(x))
 
         def propose(key):
             ks = jax.random.split(key, 4)
@@ -743,8 +745,13 @@ class Main:
                  "g": jax.random.normal(ks[1], (P, n_atoms, node_nf), dtype),
                  "pos": jax.random.normal(ks[2], (P, n_atoms, 3), dtype),
                  "vel": jax.random.normal(ks[3], (P, n_atoms, 3), dtype)}
-            s, _ = reverse_core(params, cfg, to_system(z))
-            return {"h": s.h, "g": s.g, "pos": s.pos, "vel": s.vel}
+
+            def rev_one(zz):
+                s, _ = reverse_core(params, cfg, to_system(zz))
+                return {"h": s.h[0], "g": s.g[0], "pos": s.pos[0],
+                        "vel": s.vel[0]}
+
+            return jax.vmap(rev_one)(z)
 
         algo = smc_fn if sec.get("algo", "smc") == "smc" else ais_fn
 
@@ -762,8 +769,7 @@ class Main:
                         n_temps=int(sec.get("n_temps", 10)),
                         mcmc_steps=int(sec.get("mcmc_steps", 1)),
                         step_size=float(sec.get("step_size", 0.02)),
-                        n_leapfrog=int(sec.get("n_leapfrog", 5)),
-                        batched=True, **extra)
+                        n_leapfrog=int(sec.get("n_leapfrog", 5)), **extra)
 
         res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.particles)
