@@ -131,9 +131,11 @@ def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
         return ring_egcl(net_params, cfg.egcl, sys.h, sys.pos, sys.mask,
                          sys.box, sys.r_cut, cfg.axis_name,
                          nbr_mode=cfg.nbr_mode)
-    if (cfg.nbr_mode == "all_pairs" and cfg.egcl.use_pallas
-            and not (cfg.egcl.attention or cfg.egcl.norm_diff
-                     or cfg.egcl.tanh)):
+    if cfg.egcl.use_pallas == "v2":
+        # v2 raw-state kernel (ops/egcl_fused.py); True/"v1" stays the
+        # edge-pipeline kernel inside apply_egcl (ops/edge_kernel.py)
+        if cfg.nbr_mode != "all_pairs":
+            raise ValueError("use_pallas='v2' requires nbr_mode='all_pairs'")
         from ..nn.egcl import apply_egcl_fused_allpairs
         return apply_egcl_fused_allpairs(net_params, cfg.egcl, sys.h,
                                          sys.pos, sys.box, sys.mask)

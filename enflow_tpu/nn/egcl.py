@@ -47,10 +47,14 @@ class EGCLConfig:
     # the identical network at identical states, so the values cancel
     # exactly whatever the internal precision.
     compute_dtype: str | None = None
-    # Fuse the edge pipeline (edge MLP + gate + aggregations) into a Pallas
-    # TPU kernel (ops/edge_kernel.py): the [B,N,K,hidden] intermediates
-    # never touch HBM. Requires attention/norm_diff/tanh off (default path).
-    use_pallas: bool = False
+    # Opt-in fused Pallas edge pipelines (both require attention/norm_diff/
+    # tanh off; measured analyses in the kernel module docstrings):
+    #   True / "v1": ops/edge_kernel.py — fuses the edge MLP + gate +
+    #     aggregations from XLA-materialized [A*K, 2nf+1] edge inputs.
+    #   "v2": ops/egcl_fused.py — all-pairs only; starts from raw per-atom
+    #     state so no [B,N,K,.] tensor ever touches HBM (dispatched by the
+    #     flow integrators; requires nbr_mode == 'all_pairs').
+    use_pallas: bool | str = False
 
     @property
     def edge_in(self) -> int:
@@ -170,7 +174,8 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
     else:
         h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)      # [B,N,K,nf]
 
-    if cfg.use_pallas and not (cfg.attention or cfg.norm_diff or cfg.tanh):
+    if (cfg.use_pallas and cfg.use_pallas != "v2"
+            and not (cfg.attention or cfg.norm_diff or cfg.tanh)):
         B, N, nf = h.shape
         radial = (coord_diff * coord_diff).sum(-1, keepdims=True)
         full = jnp.broadcast_to(h_j, radial.shape[:-1] + (nf,))
@@ -198,16 +203,27 @@ def apply_egcl_fused_allpairs(params, cfg: EGCLConfig, h, pos, box,
 
     Takes raw per-atom state — no ``[B,N,K,·]`` displacement/edge tensors are
     ever materialized in HBM. Requires ``nbr_mode == 'all_pairs'`` semantics
-    and attention/norm_diff/tanh off. Same ``(Q, F, G)`` contract as
+    and attention/norm_diff/tanh off (raises otherwise — the kernel would
+    silently ignore those branches). Same ``(Q, F, G)`` contract as
     :func:`apply_egcl`.
     """
     from ..ops.egcl_fused import fused_allpairs_edges
 
+    if cfg.attention or cfg.norm_diff or cfg.tanh:
+        raise ValueError(
+            "apply_egcl_fused_allpairs supports only the default EGCL path; "
+            "attention/norm_diff/tanh must be off (use apply_egcl)")
     in_dtype = h.dtype
     if cfg.compute_dtype is not None:
         cdt = jnp.dtype(cfg.compute_dtype)
         params = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
         h = h.astype(cdt)
+    if jnp.dtype(h.dtype) == jnp.float64:
+        # the kernel computes in f32 internally; don't silently degrade
+        # f64 runs (x64 tests / CPU) — the XLA path delivers real f64
+        raise ValueError(
+            "apply_egcl_fused_allpairs computes in <= f32; for float64 use "
+            "apply_egcl or set compute_dtype")
     agg, f_sum, count = fused_allpairs_edges(params, h, pos, box, atom_mask,
                                              mol_tile=mol_tile)
     Q, F, G = node_outputs(params, cfg, h, agg, f_sum, count, atom_mask)

@@ -123,8 +123,20 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
     Returns ``(x', accepted, vals', grads')`` with the caches at the accepted
     state.
     """
-    vgq = jax.value_and_grad(log_q0)
-    vgp = jax.value_and_grad(log_p)
+    return _tempered_hmc(key, x, jax.value_and_grad(log_q0),
+                         jax.value_and_grad(log_p), beta, step_size,
+                         n_leapfrog, vals, grads, _tree_dot)
+
+
+def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
+                  tree_dot):
+    """Shared tempered-HMC core for the per-chain and batched kernels.
+
+    ``vgq``/``vgp`` are value-and-grad callables; ``tree_dot`` computes the
+    momentum inner product (``_tree_dot`` → scalar per-chain energies,
+    ``_tree_dot_batched`` → ``[P]``). All selects broadcast the acceptance
+    over trailing leaf axes, which is a no-op in the scalar case.
+    """
     w0, w1 = 1.0 - beta, beta
 
     def comb(gq, gp):
@@ -149,14 +161,14 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
         leapfrog, (x, p0, grads[0], grads[1], vals[0], vals[1]), None,
         length=n_leapfrog)
 
-    lp0 = w0 * vals[0] + w1 * vals[1]
+    lp0 = w0 * vals[0] + w1 * vals[1]            # [] per-chain | [P] batched
     lp1 = w0 * vq_new + w1 * vp_new
-    h0 = -lp0 + 0.5 * _tree_dot(p0, p0)
-    h1 = -lp1 + 0.5 * _tree_dot(p_new, p_new)
-    accept = jnp.log(jax.random.uniform(kacc)) < h0 - h1
+    h0 = -lp0 + 0.5 * tree_dot(p0, p0)
+    h1 = -lp1 + 0.5 * tree_dot(p_new, p_new)
+    accept = jnp.log(jax.random.uniform(kacc, lp0.shape, lp0.dtype)) < h0 - h1
 
     sel = lambda a, b: jax.tree_util.tree_map(
-        lambda u, v: jnp.where(accept, u, v), a, b)
+        lambda u, v: jnp.where(_bcast_to(accept, u), u, v), a, b)
     x_out = sel(q_new, x)
     vals_out = (jnp.where(accept, vq_new, vals[0]),
                 jnp.where(accept, vp_new, vals[1]))
@@ -171,42 +183,8 @@ def tempered_hmc_kernel_batched(key, x, vgq: Callable, vgp: Callable, beta,
     :func:`batched_value_and_grad`) returning ``([P], [P, ...])``. One key
     drives all particles (leading-axis draws are independent). Same component
     caching contract as the per-chain kernel."""
-    w0, w1 = 1.0 - beta, beta
-
-    def comb(gq, gp):
-        return jax.tree_util.tree_map(
-            lambda a, b: (jnp.asarray(w0, a.dtype) * a
-                          + jnp.asarray(w1, b.dtype) * b), gq, gp)
-
-    kmom, kacc = jax.random.split(key)
-    p0 = _tree_randn_like(kmom, x)
-
-    def leapfrog(carry, _):
-        q, p, gq, gp, _, _ = carry
-        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
-        q = _tree_axpy(step_size, p, q)
-        vq, gq = vgq(q)
-        vp, gp = vgp(q)
-        p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
-        return (q, p, gq, gp, vq, vp), None
-
-    (q_new, p_new, gq_new, gp_new, vq_new, vp_new), _ = jax.lax.scan(
-        leapfrog, (x, p0, grads[0], grads[1], vals[0], vals[1]), None,
-        length=n_leapfrog)
-
-    lp0 = w0 * vals[0] + w1 * vals[1]                       # [P]
-    lp1 = w0 * vq_new + w1 * vp_new
-    h0 = -lp0 + 0.5 * _tree_dot_batched(p0, p0)
-    h1 = -lp1 + 0.5 * _tree_dot_batched(p_new, p_new)
-    accept = jnp.log(jax.random.uniform(kacc, lp0.shape, lp0.dtype)) < h0 - h1
-
-    sel = lambda a, b: jax.tree_util.tree_map(
-        lambda u, v: jnp.where(_bcast_to(accept, u), u, v), a, b)
-    x_out = sel(q_new, x)
-    vals_out = (jnp.where(accept, vq_new, vals[0]),
-                jnp.where(accept, vp_new, vals[1]))
-    grads_out = (sel(gq_new, grads[0]), sel(gp_new, grads[1]))
-    return x_out, accept, vals_out, grads_out
+    return _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog,
+                         vals, grads, _tree_dot_batched)
 
 
 def mala_kernel(key, x, log_prob: Callable, step_size,

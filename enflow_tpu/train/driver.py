@@ -274,8 +274,8 @@ class Main:
                             tanh=bool(net_sec.get("tanh", False)),
                             coords_weight=float(net_sec.get("coords_weight",
                                                             1.0)),
-                            use_pallas=bool(net_sec.get("use_pallas",
-                                                        False))),
+                            # False | True/"v1" | "v2" (nn/egcl.py docs)
+                            use_pallas=net_sec.get("use_pallas", False)),
             integrator=self.integrator,
             dequantizer=self.dequantizer,
             nbr_capacity=nbr_capacity,

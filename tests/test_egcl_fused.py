@@ -92,26 +92,66 @@ def test_fused_bf16_close():
                                    rtol=0.15, atol=0.05)
 
 
+def test_fused_bf16_grads_close():
+    """Backward kernel under compute_dtype='bfloat16' (the documented
+    wide-hidden production regime) tracks the XLA bf16 path."""
+    cfg, params, h, pos, box, r_cut, mask = _setup()
+    cfg = EGCLConfig(node_nf=NF, hidden_nf=H, compute_dtype="bfloat16")
+
+    def loss(qfg):
+        Q, F, G = qfg
+        return (Q**2).sum() + (F**2).sum() + (G**2).sum()
+
+    gx = jax.grad(lambda p_, h_, x_: loss(
+        _xla_qfg(p_, cfg, h_, x_, box, r_cut, mask)),
+        argnums=(0, 1, 2))(params, h, pos)
+    gf = jax.grad(lambda p_, h_, x_: loss(
+        apply_egcl_fused_allpairs(p_, cfg, h_, x_, box, mask,
+                                  mol_tile=TILE)),
+        argnums=(0, 1, 2))(params, h, pos)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0.2, atol=0.05)
+
+
+def test_fused_rejects_unsupported_config():
+    cfg, params, h, pos, box, r_cut, mask = _setup()
+    cfg_att = EGCLConfig(node_nf=NF, hidden_nf=H, attention=True)
+    with pytest.raises(ValueError, match="attention"):
+        apply_egcl_fused_allpairs(params, cfg_att, h, pos, box, mask)
+    cfg_f64 = EGCLConfig(node_nf=NF, hidden_nf=H)
+    with pytest.raises(ValueError, match="float64"):
+        apply_egcl_fused_allpairs(
+            jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), params),
+            cfg_f64, h.astype(jnp.float64), pos.astype(jnp.float64),
+            box.astype(jnp.float64), mask)
+
+
 def test_fused_in_flow_forward_reverse():
-    """Flow-level dispatch: use_pallas + all_pairs routes to the fused kernel
-    and stays exactly invertible."""
+    """Flow-level dispatch: use_pallas='v2' + all_pairs routes to the fused
+    raw-state kernel and stays exactly invertible."""
     from enflow_tpu.flow import FlowConfig, init_flow, forward_core, \
         reverse_core
     from enflow_tpu.data.system import System
 
     cfg = FlowConfig(
         n_iter=2, dt=0.05,
-        egcl=EGCLConfig(node_nf=NF, hidden_nf=H, use_pallas=True),
+        egcl=EGCLConfig(node_nf=NF, hidden_nf=H, use_pallas="v2"),
         nbr_mode="all_pairs")
     params = init_flow(jax.random.PRNGKey(0), cfg, jnp.float32)
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    f32 = jnp.float32    # kernel computes in <= f32 (rejects f64 inputs)
     mask = jnp.ones((B, N), bool).at[1, -1].set(False)
     sys = System(
-        h=jax.random.normal(ks[0], (B, N, NF)) * mask[..., None],
-        g=jax.random.normal(ks[1], (B, N, NF)) * mask[..., None],
-        pos=jax.random.normal(ks[2], (B, N, 3)) * mask[..., None],
-        vel=jax.random.normal(ks[3], (B, N, 3)) * mask[..., None],
-        mask=mask, box=jnp.full((B, 3), 1e3), r_cut=jnp.full((B,), 1e2))
+        h=jax.random.normal(ks[0], (B, N, NF), f32) * mask[..., None],
+        g=jax.random.normal(ks[1], (B, N, NF), f32) * mask[..., None],
+        pos=jax.random.normal(ks[2], (B, N, 3), f32) * mask[..., None],
+        vel=jax.random.normal(ks[3], (B, N, 3), f32) * mask[..., None],
+        mask=mask, box=jnp.full((B, 3), 1e3, f32),
+        r_cut=jnp.full((B,), 1e2, f32))
 
     out, ldj = jax.jit(lambda s: forward_core(params, cfg, s))(sys)
     back, ldj_r = jax.jit(lambda s: reverse_core(params, cfg, s))(out)
