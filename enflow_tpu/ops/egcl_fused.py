@@ -38,16 +38,30 @@ off; the flow integrators dispatch here for that regime when
 ``EGCLConfig.use_pallas`` is set. Falls back to interpret mode off-TPU so
 tests exercise the same kernel code path on CPU.
 
-Measured reality check (v5e, B=1024, N=K=13, H=128, bf16): XLA still wins —
-EGCL fwd 1.84 ms (kernel) vs 1.44 ms (XLA); in-flow fwd+bwd 15.9 vs 5.3 ms.
-At these shapes the pipeline is VPU/elementwise-bound (3 full-width SiLUs
-per edge; Mosaic lacks bf16 logistic/round/cmp so activations and geometry
-run f32 in-kernel), and the per-j narrow [rows,3]/[rows,1] ops burn
-full-width vector lanes 13x per layer, which XLA instead batches across all
-edges at once. Both fusion attempts (v1 ``edge_kernel.py``, this v2) confirm
-the XLA path is near-optimal for small-N clusters; the kernel remains
-opt-in infrastructure for wide-hidden / large-K regimes where the
-[B,N,K,hidden] HBM traffic, not VPU work, dominates.
+Measured regime study (v5e, bf16 compute, f32 params; standalone EGCL, 30
+reps after warmup)::
+
+    B=1024 N=13 H=128   xla fwd 1.32ms  fwd+bwd  2.12ms | fused 1.50  3.12
+    B=1024 N=13 H=512   xla fwd 2.50ms  fwd+bwd  6.66ms | fused 3.05  8.22
+    B=256  N=55 H=256   xla fwd 3.53ms  fwd+bwd 12.95ms | fused fwd 5.35
+                        (Mosaic compile 861 s; the fwd+bwd pair exceeded a
+                        29-min compile budget — the static per-neighbor
+                        unroll is 55 iterations in both kernels)
+    mol_tile sweep (N=13, H=128 fwd): T=32 1.50ms, 64 1.55, 128 1.61, 256
+    1.56 — small tiles pipeline grid programs best; default targets ~512
+    rows
+
+Conclusion: XLA wins every tested regime, including wide-hidden — its
+fusion already keeps HBM traffic low enough that the kernel's remaining
+edge is erased by two structural costs Mosaic imposes here: (a) activations
+and geometry run f32 in-kernel (no bf16 logistic/round/cmp on this target)
+so every elementwise op pays 2x VPU vs XLA's bf16, and (b) the per-j narrow
+[rows,3]/[rows,1] geometry ops occupy full vector registers N times per
+layer where XLA batches them across all edges once. At large N the static
+unroll also makes compile time prohibitive. The kernel is kept as validated,
+opt-in infrastructure (``use_pallas: "v2"``) and as the measured record of
+why hand-fusion does not pay on this workload; large-N pairwise work uses
+``ops/pairwise_kernel.py`` + the cell list instead.
 """
 
 from __future__ import annotations
@@ -89,10 +103,11 @@ def _dsilu(x):
 
 
 def _mol_tile(N: int, B: int) -> int:
-    """Molecules per grid program: keep the row tile T*N around ~2k rows so
-    the [T*N, hidden] working set fits VMEM with headroom, T a multiple of
-    16 (sublane alignment for bf16 row tiles)."""
-    t = max(16, min(64, (1024 // N) // 16 * 16))
+    """Molecules per grid program: keep the row tile T*N around ~512 rows
+    (measured best on v5e at N=13/H=128: T=32 1.50 ms vs T=64 1.55 / T=128
+    1.61 — smaller tiles pipeline grid programs better), T a multiple of 16
+    (sublane alignment for bf16 row tiles)."""
+    t = max(16, min(64, (512 // N) // 16 * 16))
     return min(t, max(16, (B + 15) // 16 * 16))
 
 
