@@ -215,19 +215,27 @@ class Main:
                     f"batch_size={batch_size} must be divisible by the data "
                     f"axis ({n_data} = {n_dev} devices / atom_axis "
                     f"{self.atom_axis})")
-        elif self.dataset is not None and batch_size % n_dev != 0:
-            # If batch_size does not divide across every device, fall back
-            # to the largest device count that does (single-host only).
-            usable = max(d for d in range(1, n_dev + 1)
-                         if batch_size % d == 0)
-            if self.num_processes > 1:
+        elif self.dataset is not None:
+            # batch_size is per process (reference per-rank semantics,
+            # main.py:142-143): the global batch is batch_size * n_proc,
+            # and each process's local block must split over its own
+            # devices (make_array_from_process_local_data).
+            local_dev = max(1, n_dev // max(1, self.num_processes))
+            if batch_size % local_dev == 0:
+                self.mesh = get_mesh()
+            elif self.num_processes > 1:
                 raise ValueError(
-                    f"batch_size={batch_size} must be divisible by the "
-                    f"device count ({n_dev}) in multi-host runs")
-            if self.is_main and self.mode == "train":
-                eprint(f"batch_size={batch_size} not divisible by {n_dev} "
-                       f"devices; using {usable}", flush=True)
-            self.mesh = get_mesh(devices=jax.devices()[:usable])
+                    f"batch_size={batch_size} (per process) must be "
+                    f"divisible by the per-process device count "
+                    f"({local_dev})")
+            else:
+                # single-host fallback: largest device count that divides
+                usable = max(d for d in range(1, n_dev + 1)
+                             if batch_size % d == 0)
+                if self.is_main and self.mode == "train":
+                    eprint(f"batch_size={batch_size} not divisible by "
+                           f"{n_dev} devices; using {usable}", flush=True)
+                self.mesh = get_mesh(devices=jax.devices()[:usable])
         else:
             self.mesh = get_mesh()
 
@@ -317,7 +325,11 @@ class Main:
             # cadence for long runs where the per-epoch host sync matters
             self.checkpoint_interval = int(tr.get("checkpoint_interval", 1))
             # observability (no reference equivalent; SURVEY §5 prescription)
-            self.metrics = MetricsLogger(tr.get("metrics_csv"))
+            # CSV writes are rank-0-only, like checkpoints (reference
+            # main.py:235-259) — without the gate, multi-host processes on
+            # a shared filesystem interleave rows in the same file
+            self.metrics = MetricsLogger(
+                tr.get("metrics_csv") if self.is_main else None)
             self.profile_dir = tr.get("profile_dir")
             self.nan_checks = bool(args.get("debug", {}).get("nan_checks"))
             if self.is_main:

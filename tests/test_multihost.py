@@ -1,0 +1,106 @@
+"""Real multi-process (2-host) training e2e on CPU.
+
+The mesh/dryrun tests exercise multi-*device* sharding inside one process;
+this spawns two actual processes joined through ``jax.distributed`` (the
+reference's NCCL/SLURM analogue, reference main.py:42-60) and runs the YAML
+train driver end-to-end: per-process loader shards combine into one global
+batch over the 2-device mesh, gradient reductions ride XLA collectives, and
+rank 0 alone writes the checkpoint and metrics CSV.
+
+Each worker pins ``jax_platforms`` to cpu *in code* — the environment may
+force a different default platform at interpreter start, so an env var set
+here would be too late.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+YAML = """\
+mode: train
+units: {time: pico, dist: ang}
+precision: float32
+seed: 3
+dataset:
+  type: lj
+  n_atoms: 13
+  box: [17.0, 17.0, 17.0]
+  temp: 120
+  n_iter: 400
+  interval: 40
+  discard: -1
+  dt: 0.004
+  friction: 1
+  softening: 0.1
+  gap: 2
+  r_cut: 10.2
+dynamics:
+  integrator: lf
+  n_iter: 2
+  dt: 1
+  checkpoint_path: model_mh.cpt
+  network: {hidden_nf: 32}
+training:
+  num_epochs: 3
+  batch_size: 5
+  lr: 1e-3
+  scheduler: No
+  loss: {temp: 120, softening: 0.1}
+  log_interval: 1
+  metrics_csv: metrics_mh.csv
+"""
+
+WORKER = """\
+import sys, jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+from enflow_tpu.__main__ import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_e2e(tmp_path):
+    (tmp_path / "train_mh.yaml").write_text(YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+
+    env = dict(os.environ)
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # one device per process (conftest's 8-virtual-device XLA_FLAGS would
+    # otherwise leak in and give a 16-device global mesh)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    procs = []
+    for pid in (0, 1):
+        e = dict(env, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "worker.py", "train_mh.yaml"],
+            cwd=tmp_path, env=e, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    # rank 0 alone writes the checkpoint + CSV (reference main.py:235-250)
+    assert outs[0].count("State saved") == 3
+    assert outs[1].count("State saved") == 0
+    rows = (tmp_path / "metrics_mh.csv").read_text().strip().splitlines()
+    assert len(rows) == 4, rows                      # header + 3 epochs
+    losses = [float(r.split(",")[2]) for r in rows[1:]]
+    assert all(np.isfinite(losses))
+    # per-process shards (5 each) combined into ONE global batch of 10
+    assert all(int(r.split(",")[-1]) == 1 for r in rows[1:])
+    assert (tmp_path / "model_mh.cpt").exists()
