@@ -751,12 +751,30 @@ class Main:
         def log_p(x):
             return target.log_prob(x["pos"]) + gauss_aux(to_system(x))
 
+        # shard the particle axis over the whole mesh (all chips, all
+        # hosts): one sharding constraint on the latent draws and GSPMD
+        # propagates it through the flow, the HMC sweeps, the resampling
+        # gathers and the weight normalizations (which become collectives)
+        # — the scaling strategy of bench_scaling.py, in the driver.
+        n_mesh_dev = int(self.mesh.devices.size)
+        if P % n_mesh_dev:
+            raise ValueError(
+                f"sampling.n_particles={P} must be divisible by the device "
+                f"count ({n_mesh_dev})")
+        constrain = None
+        if n_mesh_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = NamedSharding(self.mesh, PartitionSpec("data"))
+            constrain = lambda a: jax.lax.with_sharding_constraint(a, spec)
+
         def propose(key):
             ks = jax.random.split(key, 4)
             z = {"h": jax.random.normal(ks[0], (P, n_atoms, node_nf), dtype),
                  "g": jax.random.normal(ks[1], (P, n_atoms, node_nf), dtype),
                  "pos": jax.random.normal(ks[2], (P, n_atoms, 3), dtype),
                  "vel": jax.random.normal(ks[3], (P, n_atoms, 3), dtype)}
+            if constrain is not None:
+                z = jax.tree_util.tree_map(constrain, z)
 
             def rev_one(zz):
                 s, _ = reverse_core(params, cfg, to_system(zz))
@@ -785,6 +803,11 @@ class Main:
 
         res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.particles)
+        if self.num_processes > 1:
+            # gather shards so every process holds full host copies (the
+            # result pytree is small); writes below stay rank-0-only
+            from jax.experimental import multihost_utils
+            res = multihost_utils.process_allgather(res, tiled=True)
         ess = float(ess_from_log_weights(res.log_weights))
         out_path = sec.get("output", "samples.npz")
 
@@ -810,16 +833,16 @@ class Main:
                     extra_out[f"{name}_centers"] = c
                     extra_out[f"{name}_free_energy"] = F
 
-        np.savez(out_path,
-                 pos=np.asarray(res.particles["pos"]),
-                 vel=np.asarray(res.particles["vel"]),
-                 h=np.asarray(res.particles["h"]),
-                 g=np.asarray(res.particles["g"]),
-                 log_weights=np.asarray(res.log_weights),
-                 log_Z=np.asarray(res.log_Z),
-                 ess_history=np.asarray(res.ess_history),
-                 **extra_out)
         if self.is_main:
+            np.savez(out_path,
+                     pos=np.asarray(res.particles["pos"]),
+                     vel=np.asarray(res.particles["vel"]),
+                     h=np.asarray(res.particles["h"]),
+                     g=np.asarray(res.particles["g"]),
+                     log_weights=np.asarray(res.log_weights),
+                     log_Z=np.asarray(res.log_Z),
+                     ess_history=np.asarray(res.ess_history),
+                     **extra_out)
             print(f"sampled {P} particles -> {out_path}  "
                   f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
                   f"accept={float(res.accept_history[-1]):.2f}", flush=True)

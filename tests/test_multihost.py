@@ -65,6 +65,26 @@ sys.exit(main(sys.argv[1:]))
 """
 
 
+SAMPLE_YAML = """\
+mode: sample
+units: {time: pico, dist: ang}
+precision: float32
+seed: 4
+dynamics:
+  checkpoint_path: model_mh.cpt
+  nbr_mode: all_pairs
+sampling:
+  algo: smc
+  n_particles: 64
+  n_temps: 4
+  mcmc_steps: 1
+  step_size: 0.05
+  n_leapfrog: 2
+  output: samples_mh.npz
+  target: {type: lj_cluster, n_atoms: 13, kBT: 2.0, c_osc: 0.5}
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -104,3 +124,24 @@ def test_two_process_train_e2e(tmp_path):
     # per-process shards (5 each) combined into ONE global batch of 10
     assert all(int(r.split(",")[-1]) == 1 for r in rows[1:])
     assert (tmp_path / "model_mh.cpt").exists()
+
+    # --- 2-process flow-SMC from the checkpoint: particles sharded over
+    # the 2-device mesh, shards allgathered, rank 0 alone writes the npz
+    (tmp_path / "sample_mh.yaml").write_text(SAMPLE_YAML)
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    procs = []
+    for pid in (0, 1):
+        e = dict(env, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "worker.py", "sample_mh.yaml"],
+            cwd=tmp_path, env=e, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "sampled 64 particles" in outs[0]
+    assert "sampled" not in outs[1]
+    with np.load(tmp_path / "samples_mh.npz") as z:
+        assert z["pos"].shape == (64, 13, 3)
+        assert np.isfinite(z["log_weights"]).all()
+        assert np.isfinite(float(z["log_Z"]))
