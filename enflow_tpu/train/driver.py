@@ -555,6 +555,18 @@ class Main:
 
         cfg, optimizer = self.flow_cfg, self.optimizer
 
+        # shard the particle axis over the mesh (all chips/hosts): one
+        # constraint on the base draws and GSPMD partitions the whole
+        # step, gradient reductions included — same strategy as sample()
+        n_mesh_dev = int(self.mesh.devices.size)
+        shard_vi = n_mesh_dev > 1 and n_particles % n_mesh_dev == 0
+        if n_mesh_dev > 1 and not shard_vi and self.is_main:
+            eprint(f"flow_vi: n_particles={n_particles} not divisible by "
+                   f"{n_mesh_dev} devices; running unsharded", flush=True)
+        if shard_vi:
+            from jax.sharding import NamedSharding, PartitionSpec
+            pspec = NamedSharding(self.mesh, PartitionSpec("data"))
+
         @jax.jit
         def vi_step(params, opt_state, key, soft, cap):
             batch = sample_base(
@@ -563,6 +575,10 @@ class Main:
                 vel_std=float(base_sec.get("vel_std", 1.0)),
                 feat_std=float(base_sec.get("feat_std", 1.0)),
                 dtype=self.dtype)
+            if shard_vi:
+                batch = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, pspec),
+                    batch)
 
             def loss_fn(p):
                 loss, _ = flow_vi_loss(p, cfg, batch, sys_target(soft, cap))
@@ -574,7 +590,13 @@ class Main:
 
         if self.is_main:
             print('Epoch \tVI Loss \t   Time (s)', flush=True)
-        params, opt_state = self.params, self.opt_state
+        if shard_vi or self.num_processes > 1:
+            # multi-device/-host: parameters and optimizer state replicated
+            # (multi-host placement via process-local blocks, mesh.py)
+            params = replicate(self.params, self.mesh)
+            opt_state = replicate(self.opt_state, self.mesh)
+        else:
+            params, opt_state = self.params, self.opt_state
         base_key = jax.random.PRNGKey(self.seed + 23)
         for epoch in range(self.start_epoch, self.start_epoch + self.num_epochs):
             start_time = time.time()

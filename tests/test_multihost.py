@@ -85,10 +85,49 @@ sampling:
 """
 
 
+VI_YAML = """\
+mode: train
+units: {time: pico, dist: ang}
+precision: float32
+seed: 5
+dynamics:
+  integrator: lf
+  n_iter: 2
+  dt: 1
+  checkpoint_path: model_vi.cpt
+  nbr_mode: all_pairs
+  network: {hidden_nf: 16, node_nf: 3}
+training:
+  objective: flow_vi
+  num_epochs: 2
+  steps_per_epoch: 4
+  n_particles: 32
+  lr: 1e-3
+  scheduler: No
+  log_interval: 1
+  metrics_csv: metrics_vi.csv
+  target: {type: lj_cluster, n_atoms: 6, kBT: 2.0, c_osc: 0.5}
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def _spawn_pair(tmp_path, env, cfg_name):
+    procs = []
+    for pid in (0, 1):
+        e = dict(env, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "worker.py", cfg_name],
+            cwd=tmp_path, env=e, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    return outs
 
 
 def test_two_process_train_e2e(tmp_path):
@@ -145,3 +184,26 @@ def test_two_process_train_e2e(tmp_path):
         assert z["pos"].shape == (64, 13, 3)
         assert np.isfinite(z["log_weights"]).all()
         assert np.isfinite(float(z["log_Z"]))
+
+
+def test_two_process_flow_vi(tmp_path):
+    """Data-free flow-VI with the particle axis sharded across two
+    processes: replicated params, GSPMD gradient reductions, rank-0
+    checkpoint/CSV."""
+    (tmp_path / "vi.yaml").write_text(VI_YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+    env = dict(os.environ)
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    outs = _spawn_pair(tmp_path, env, "vi.yaml")
+    # rank 0 alone prints the epoch table and writes the CSV (2 epochs ->
+    # exactly 3 rows; a second writer would interleave more)
+    assert outs[0].count("1.00e-03") == 2
+    assert outs[1].count("1.00e-03") == 0
+    rows = (tmp_path / "metrics_vi.csv").read_text().strip().splitlines()
+    assert len(rows) == 3
+    assert all(np.isfinite(float(r.split(",")[2])) for r in rows[1:])
+    assert (tmp_path / "model_vi.cpt").exists()
