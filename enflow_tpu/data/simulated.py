@@ -39,6 +39,7 @@ Subclass contract (the extension point, reference simulated.py:85)::
 
 from __future__ import annotations
 
+import os
 from abc import abstractmethod
 
 import numpy as np
@@ -46,6 +47,12 @@ import numpy as np
 from .datasets import InMemoryDataset
 from ..utils import conversion as cv
 from ..utils.constants import eps
+
+
+def _ensure_parent(path):
+    """Create a declared output file's parent directory (the example
+    configs point log/traj into data/<name>/ which need not exist yet)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
 
 def write_pdb_frames(path, z, frames_ang, box_ang):
@@ -130,6 +137,7 @@ class SimulatedDataset(InMemoryDataset):
             for s, e, t in zip(steps, pe, kBT_inst):
                 lines.append(
                     f"{int(s)},{e * eps / 1000.0},{cv.lj_to_kelvin(t)}")
+            _ensure_parent(log)
             with open(log, "w") as f:
                 f.write("\n".join(lines) + "\n")
             print("\n".join(lines), flush=True)
@@ -140,6 +148,7 @@ class SimulatedDataset(InMemoryDataset):
         keep = steps >= report_from
 
         if traj:
+            _ensure_parent(traj)
             write_pdb_frames(
                 traj, z, [cv.lj_to_dist(p, "ang") for p in pos_frames[keep]],
                 cv.lj_to_dist(box_red, "ang"))

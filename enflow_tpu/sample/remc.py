@@ -1,0 +1,159 @@
+"""Replica-exchange Monte Carlo (parallel tempering), TPU-native.
+
+No reference equivalent (the reference has no samplers at all) — this extends
+the north-star sampling family (SMC/AIS/HMC/NUTS) with the classic
+multi-modal workhorse: K temperature slots x M chains run tempered-HMC
+sweeps in parallel, then adjacent slots propose configuration swaps in the
+deterministic even-odd (DEO) pattern. Everything is one jitted program:
+replicas live on a ``[K, M, ...]`` leading axis (vmap x vmap over the HMC
+kernel), swaps are a per-chain ``take_along_axis`` permutation — no
+host-side control flow, static shapes throughout, and the whole ladder
+batches onto the MXU at once.
+
+The tempered family matches SMC's bridge: ``pi_beta = (1-beta) log_q0 +
+beta log_p`` (``log_q0`` omitted => plain temperature ladder ``beta *
+log_p``). The per-replica component caches (values and gradients of both
+densities) thread through sweeps AND swaps — a swap permutes cached values
+with the configurations, so exchanges cost zero density evaluations, and
+each round costs exactly ``mcmc_steps * n_leapfrog`` evaluations per
+replica (the same accounting as sample/smc.py rejuvenation).
+
+Swap acceptance for adjacent slots (k, k+1):
+  log a = (beta_{k+1} - beta_k) * (e_k - e_{k+1}),   e = log_p - log_q0,
+the standard parallel-tempering ratio, exact for the bridged family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .mcmc import tempered_hmc_kernel
+
+
+class REMCResult(NamedTuple):
+    samples: Any          # [n_rounds, M, ...] draws from the beta=1 slot
+    x_final: Any          # [K, M, ...] final replica states
+    swap_accept: Any      # [K-1] mean swap acceptance per adjacent pair
+    accept: Any           # [K] mean HMC acceptance per temperature slot
+    betas: Any            # [K] the ladder, as used
+
+
+def tile_replicas(x, K: int):
+    """Broadcast an ``[M, ...]`` chain pytree to ``[K, M, ...]`` replicas."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), x)
+
+
+def _zero_log_q0(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    return jnp.zeros((), leaves[0].dtype)
+
+
+def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
+         betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
+         n_leapfrog: int = 5) -> REMCResult:
+    """Parallel tempering from ``betas[0]`` (hottest) to ``betas[-1] == 1``.
+
+    Args:
+      x0: ``[K, M, ...]`` pytree of initial replica states (use
+        :func:`tile_replicas` to copy one chain set across the ladder).
+      log_p: target log density of ONE configuration (vmapped internally).
+      log_q0: optional bridge density (as in :func:`..sample.smc.smc`);
+        ``None`` gives the plain tempered target ``beta * log_p``.
+      betas: ``[K]`` ascending inverse-temperature ladder; ``betas[-1]``
+        should be 1 (the target slot whose draws are returned).
+      n_rounds: swap rounds; each round = ``mcmc_steps`` tempered-HMC
+        sweeps per replica + one even/odd swap phase.
+      step_size: scalar or ``[K]`` per-slot leapfrog step (hot slots can
+        take larger steps).
+
+    Returns :class:`REMCResult`; ``samples`` stacks the ``beta=1`` slot
+    after every round (``[n_rounds, M, ...]``).
+    """
+    if log_q0 is None:
+        log_q0 = _zero_log_q0
+    betas = jnp.asarray(betas)
+    K = betas.shape[0]
+    M = jax.tree_util.tree_leaves(x0)[0].shape[1]
+    step_size = jnp.broadcast_to(jnp.asarray(step_size, betas.dtype), (K,))
+
+    vg_q = jax.vmap(jax.vmap(jax.value_and_grad(log_q0)))
+    vg_p = jax.vmap(jax.vmap(jax.value_and_grad(log_p)))
+    lq0, glq0 = vg_q(x0)                                    # [K, M], [K, M, ...]
+    lp, glp = vg_p(x0)
+
+    # kernel over [K, M]: inner vmap = chains, outer vmap = temperature
+    # slots (beta and step size vary along K)
+    kernel = jax.vmap(
+        jax.vmap(
+            lambda kk, xx, beta, ss, vals, grads: tempered_hmc_kernel(
+                kk, xx, log_q0, log_p, beta, ss, n_leapfrog, vals, grads),
+            in_axes=(0, 0, None, None, 0, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0))
+
+    ks = jnp.arange(K)
+
+    def swap_phase(parity, k_swap, x, lq0, lp, glq0, glp):
+        """Even/odd deterministic pairing: slot k proposes a swap with k+1
+        for k = parity, parity+2, ... Swaps permute states AND caches."""
+        e = lp - lq0                                        # [K, M]
+        d_beta = betas[1:] - betas[:-1]                     # [K-1]
+        log_a = d_beta[:, None] * (e[:-1] - e[1:])          # [K-1, M]
+        u = jax.random.uniform(k_swap, log_a.shape, log_a.dtype)
+        pair_on = (ks[:-1] % 2) == parity                   # [K-1]
+        acc = (jnp.log(u) < log_a) & pair_on[:, None]       # [K-1, M]
+
+        up = jnp.concatenate([acc, jnp.zeros((1, M), bool)])      # [K, M]
+        down = jnp.concatenate([jnp.zeros((1, M), bool), acc])
+        idx = ks[:, None] + up.astype(jnp.int32) - down.astype(jnp.int32)
+
+        def perm(a):
+            ix = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
+            return jnp.take_along_axis(a, jnp.broadcast_to(
+                ix, idx.shape + a.shape[2:]), axis=0)
+
+        tperm = lambda t: jax.tree_util.tree_map(perm, t)
+        x, glq0, glp = tperm(x), tperm(glq0), tperm(glp)
+        lq0, lp = perm(lq0), perm(lp)
+        # pair acceptance rate, counting only rounds where the pair was on
+        rate = jnp.where(pair_on[:, None], acc, 0.0).mean(axis=1)
+        return x, lq0, lp, glq0, glp, rate, pair_on
+
+    def one_round(carry, r):
+        x, lq0, lp, glq0, glp = carry
+        k_round = jax.random.fold_in(key, r)
+
+        def sweep(i, state):
+            x, acc, lq0, lp, glq0, glp = state
+            kk = jax.random.fold_in(k_round, i)
+            keys = jax.random.split(kk, K * M).reshape(K, M, 2)
+            x, a, (lq0, lp), (glq0, glp) = kernel(
+                keys, x, betas, step_size, (lq0, lp), (glq0, glp))
+            return x, acc + a.mean(axis=1), lq0, lp, glq0, glp
+
+        x, acc, lq0, lp, glq0, glp = jax.lax.fori_loop(
+            0, mcmc_steps, sweep,
+            (x, jnp.zeros((K,), lq0.dtype), lq0, lp, glq0, glp))
+
+        k_swap = jax.random.fold_in(k_round, 7919)
+        x, lq0, lp, glq0, glp, rate, pair_on = swap_phase(
+            r % 2, k_swap, x, lq0, lp, glq0, glp)
+
+        target_slot = jax.tree_util.tree_map(lambda a: a[-1], x)
+        out = (target_slot, acc / mcmc_steps, rate, pair_on)
+        return (x, lq0, lp, glq0, glp), out
+
+    (x, lq0, lp, glq0, glp), (samples, accs, rates, pair_ons) = jax.lax.scan(
+        one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
+
+    n_on = jnp.maximum(pair_ons.sum(axis=0), 1)             # rounds pair was on
+    return REMCResult(
+        samples=samples,
+        x_final=x,
+        swap_accept=rates.sum(axis=0) / n_on,
+        accept=accs.mean(axis=0),
+        betas=betas,
+    )
