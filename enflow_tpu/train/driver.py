@@ -805,10 +805,13 @@ class Main:
 
             return jax.vmap(rev_one)(z)
 
-        algo = smc_fn if sec.get("algo", "smc") == "smc" else ais_fn
+        algo_name = str(sec.get("algo", "smc")).lower()
+        if algo_name == "remc":
+            return self._sample_remc(sec, propose, log_q0, log_p, P)
+        algo = smc_fn if algo_name == "smc" else ais_fn
 
         extra = {}
-        if sec.get("algo", "smc") == "smc":
+        if algo_name == "smc":
             extra = dict(adaptive=bool(sec.get("adaptive", False)),
                          target_ess_frac=float(sec.get("target_ess_frac",
                                                        0.6)))
@@ -835,25 +838,10 @@ class Main:
 
         # force-field targets: attach dihedral observables + phi/psi
         # free-energy profiles (importance-weighted) to the output
-        extra_out = {}
-        ff = getattr(self, "_ff", None)
-        if ff is not None:
-            from ..sample.forcefield import (dihedral_angles,
-                                             free_energy_profile)
-            ang = np.asarray(jax.vmap(lambda p: dihedral_angles(ff, p))(
-                res.particles["pos"]))
-            lw = np.asarray(res.log_weights)
-            w = np.exp(lw - lw.max())
-            w = w / w.sum()
-            extra_out["dihedrals"] = ang
-            for name in ("phi", "psi"):
-                i = self._ff_params.get(f"{name}_torsion_index")
-                if i is not None:
-                    c, F = free_energy_profile(
-                        ang[:, int(i)], self._ff_kBT,
-                        bins=int(sec.get("fe_bins", 36)), weights=w)
-                    extra_out[f"{name}_centers"] = c
-                    extra_out[f"{name}_free_energy"] = F
+        lw = np.asarray(res.log_weights)
+        w = np.exp(lw - lw.max())
+        extra_out = self._ff_extras(np.asarray(res.particles["pos"]),
+                                    w / w.sum(), sec)
 
         if self.is_main:
             np.savez(out_path,
@@ -868,6 +856,85 @@ class Main:
             print(f"sampled {P} particles -> {out_path}  "
                   f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
                   f"accept={float(res.accept_history[-1]):.2f}", flush=True)
+        return res
+
+    def _ff_extras(self, pos, weights, sec):
+        """Dihedral observables + phi/psi free-energy profiles for
+        force-field targets. ``pos [n, N, 3]``, ``weights [n]`` or None."""
+        ff = getattr(self, "_ff", None)
+        if ff is None:
+            return {}
+        from ..sample.forcefield import dihedral_angles, free_energy_profile
+
+        ang = np.asarray(jax.vmap(lambda p: dihedral_angles(ff, p))(
+            jnp.asarray(pos)))
+        extra_out = {"dihedrals": ang}
+        for name in ("phi", "psi"):
+            i = self._ff_params.get(f"{name}_torsion_index")
+            if i is not None:
+                c, F = free_energy_profile(
+                    ang[:, int(i)], self._ff_kBT,
+                    bins=int(sec.get("fe_bins", 36)), weights=weights)
+                extra_out[f"{name}_centers"] = c
+                extra_out[f"{name}_free_energy"] = F
+        return extra_out
+
+    def _sample_remc(self, sec, propose, log_q0, log_p, M):
+        """``sampling.algo: remc`` — flow-bridged parallel tempering:
+        chains start at flow samples, the ladder bridges the flow
+        pushforward (beta=0) to the Boltzmann target (beta=1), and the
+        beta=1 slot's draws are unweighted target samples (sample/remc.py).
+        """
+        from ..sample.remc import remc, tile_replicas
+
+        betas = sec.get("betas")
+        if betas is not None:
+            betas = jnp.asarray([float(b) for b in betas])
+        else:
+            betas = jnp.geomspace(float(sec.get("beta_min", 0.05)), 1.0,
+                                  int(sec.get("n_temps", 6)))
+        K = int(betas.shape[0])
+        step_size = sec.get("step_size", 0.02)
+        if isinstance(step_size, (list, tuple)):
+            step_size = jnp.asarray([float(s) for s in step_size])
+        else:
+            step_size = float(step_size)
+        n_rounds = int(sec.get("n_rounds", 100))
+        discard = int(sec.get("discard_rounds", n_rounds // 2))
+
+        @jax.jit
+        def run(key):
+            kp, ks = jax.random.split(key)
+            x0 = tile_replicas(propose(kp), K)
+            return remc(ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
+                        n_rounds=n_rounds,
+                        mcmc_steps=int(sec.get("mcmc_steps", 1)),
+                        step_size=step_size,
+                        n_leapfrog=int(sec.get("n_leapfrog", 5)))
+
+        res = run(jax.random.PRNGKey(self.seed + 31))
+        jax.block_until_ready(res.samples)
+        if self.num_processes > 1:
+            from jax.experimental import multihost_utils
+            res = multihost_utils.process_allgather(res, tiled=True)
+        out_path = sec.get("output", "samples.npz")
+        keep = {k: np.asarray(v)[discard:]
+                for k, v in res.samples.items()}        # [R-discard, M, ...]
+        flat_pos = keep["pos"].reshape(-1, *keep["pos"].shape[2:])
+        extra_out = self._ff_extras(flat_pos, None, sec)
+        if self.is_main:
+            np.savez(out_path,
+                     **{k: v for k, v in keep.items()},
+                     swap_accept=np.asarray(res.swap_accept),
+                     accept=np.asarray(res.accept),
+                     betas=np.asarray(res.betas),
+                     **extra_out)
+            sa = np.asarray(res.swap_accept)
+            print(f"remc: {n_rounds} rounds x {M} chains x {K} temps -> "
+                  f"{out_path}  kept {keep['pos'].shape[0]} rounds  "
+                  f"swap_accept=[{sa.min():.2f},{sa.max():.2f}]  "
+                  f"hmc_accept={float(np.asarray(res.accept)[-1]):.2f}",
+                  flush=True)
         return res
 
     # ------------------------------------------------------------------

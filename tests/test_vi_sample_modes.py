@@ -100,6 +100,43 @@ def test_sample_mode_smc(tmp_path, capsys):
     assert data["ess_history"].shape == (4,)
 
 
+def test_sample_mode_remc(tmp_path, capsys):
+    """algo: remc — flow-bridged parallel tempering through the driver."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    capsys.readouterr()
+
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 6,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
+        "sampling": {
+            "algo": "remc",
+            "n_particles": 16,          # chains per temperature
+            "n_temps": 3,
+            "beta_min": 0.2,
+            "n_rounds": 20,
+            "mcmc_steps": 1,
+            "step_size": [0.3, 0.2, 0.1],
+            "n_leapfrog": 3,
+            "output": str(tmp_path / "remc.npz"),
+            "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
+                       "kBT": 1.0},
+        },
+    }
+    run_main(tmp_path, sample_cfg, "remc.yaml")
+    out = capsys.readouterr().out
+    assert "swap_accept=" in out
+    data = np.load(tmp_path / "remc.npz")
+    assert data["pos"].shape == (10, 16, 5, 3)     # kept rounds x M x N x 3
+    assert np.isfinite(data["pos"]).all()
+    assert data["swap_accept"].shape == (2,)
+    assert data["betas"].shape == (3,)
+    assert np.all(data["swap_accept"] >= 0.0)
+
+
 def test_sample_mode_untrained_flow(tmp_path, capsys):
     """Sampling works without a checkpoint when dynamics fully specifies the
     model (benchmark / smoke path)."""
