@@ -1,0 +1,58 @@
+"""MBAR estimator (sample/mbar.py): analytic-Gaussian and REMC-pooling
+tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enflow_tpu.sample.mbar import mbar, mbar_from_remc
+from enflow_tpu.sample.remc import remc, tile_replicas
+
+DTYPE = jnp.float64
+
+
+def test_mbar_recovers_gaussian_free_energies():
+    """States q_k = exp(-x^2 / 2 s_k^2): Z_k = sqrt(2 pi) s_k, so
+    f_k - f_0 = -log(s_k / s_0) exactly."""
+    sigmas = np.array([1.0, 1.5, 2.5])
+    N_per = 4000
+    ks = jax.random.split(jax.random.PRNGKey(0), len(sigmas))
+    x = jnp.concatenate([s * jax.random.normal(k, (N_per,), DTYPE)
+                         for s, k in zip(sigmas, ks)])
+    u_kn = 0.5 * (x[None, :] ** 2) / (sigmas**2)[:, None]
+    res = jax.jit(lambda u: mbar(u, jnp.full((3,), N_per)))(u_kn)
+    expect = -np.log(sigmas / sigmas[0])
+    np.testing.assert_allclose(np.asarray(res.f), expect, atol=0.05)
+    assert float(res.converged) < 1e-8
+    # weights are normalized and give correct second moments per state
+    w = np.exp(np.asarray(res.log_w))
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-10)
+    for k, s in enumerate(sigmas):
+        m2 = (w[k] * np.asarray(x) ** 2).sum()
+        assert m2 == pytest.approx(s**2, rel=0.1)
+
+
+def test_mbar_from_remc_matches_analytic_logz():
+    """Pool replica-exchange slots over the bridged Gaussian family and
+    check the estimated log(Z_1 / Z_beta) against the analytic values."""
+    d, M = 2, 256
+    log_q0 = lambda x: -0.5 * (x**2).sum()            # sigma = 1
+    log_p = lambda x: -0.5 * (x**2).sum() / 0.25      # sigma = 0.5
+    betas = jnp.array([0.25, 0.5, 1.0], DTYPE)
+    x0 = tile_replicas(
+        jax.random.normal(jax.random.PRNGKey(1), (M, d), DTYPE), 3)
+    res = jax.jit(lambda k, x: remc(
+        k, x, log_p=log_p, log_q0=log_q0, betas=betas, n_rounds=300,
+        mcmc_steps=1, step_size=0.4, n_leapfrog=5))(
+            jax.random.PRNGKey(2), x0)
+
+    u_kn, counts = mbar_from_remc(res, log_p, log_q0)
+    out = jax.jit(lambda u, c: mbar(u, c))(u_kn, counts)
+
+    # analytic: pi_beta has precision (1-beta) + beta/0.25, so
+    # Z_beta = (2 pi / prec)^(d/2); f_k - f_0 = -log(Z_k / Z_0)
+    prec = (1.0 - np.asarray(betas)) + np.asarray(betas) / 0.25
+    logZ = -0.5 * d * np.log(prec)          # up to a common constant
+    expect = -(logZ - logZ[0])
+    np.testing.assert_allclose(np.asarray(out.f), expect, atol=0.08)
