@@ -78,6 +78,13 @@ class FlowConfig:
     # large-N systems require it (LJ55-class HMC through the flow OOMs
     # 16 GB HBM without it). Costs nothing when no gradient is taken.
     remat: bool = True
+    # jax.checkpoint policy for remat: None (recompute everything — the
+    # measured default winner at bench scale), 'dots' (save MXU outputs,
+    # recompute elementwise: jax.checkpoint_policies.checkpoint_dots) or
+    # 'dots_no_batch' (dots_with_no_batch_dims_saveable).
+    remat_policy: Optional[str] = None
+    # lax.scan unroll factor for the per-step integrator scans (1 = rolled).
+    scan_unroll: int = 1
     # Mesh axis name the *atom* dimension is sharded over (shard_map ring
     # EGCL, parallel/ring.py) — None for the single-device dense path. Set
     # by flow/sharded.py, not by hand: every function here then assumes it
@@ -158,8 +165,19 @@ def _ldj_sum(cfg: FlowConfig, Q):
 # Leapfrog (reference LFIntegrator, dynamics.py:4-37)
 # ---------------------------------------------------------------------------
 
+_REMAT_POLICIES = {
+    None: None,
+    "dots": "checkpoint_dots",
+    "dots_no_batch": "dots_with_no_batch_dims_saveable",
+}
+
+
 def _maybe_remat(cfg, step):
-    return jax.checkpoint(step) if cfg.remat else step
+    if not cfg.remat:
+        return step
+    name = _REMAT_POLICIES[cfg.remat_policy]
+    policy = getattr(jax.checkpoint_policies, name) if name else None
+    return jax.checkpoint(step, policy=policy)
 
 
 def _lf_forward(params, cfg: FlowConfig, sys: System):
@@ -174,7 +192,7 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
         return s, _ldj_sum(cfg, Q)
 
     sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
-                                  params["networks"])
+                                  params["networks"], unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0)
 
 
@@ -190,7 +208,8 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
         return s.replace(g=g, vel=vel), -_ldj_sum(cfg, Q)
 
     sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
-                                  params["networks"], reverse=True)
+                                  params["networks"], reverse=True,
+                                  unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0)
 
 
@@ -225,7 +244,7 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         return (s, (Q2, F2, G2)), ldj
 
     (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), (sys, QFG0),
-                                       rest)
+                                       rest, unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0)
 
 
@@ -259,7 +278,7 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         return (s, (Q2, F2, G2)), ldj
 
     (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG_last), rest,
-                                       reverse=True)
+                                       reverse=True, unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0)
 
 

@@ -117,6 +117,29 @@ def test_dataloader_sharding_disjoint():
     assert len(seen) == 4
 
 
+def test_dataloader_sharding_uneven_lockstep():
+    """Shards must yield the SAME number of batches even when the dataset
+    size doesn't divide by num_shards (wrap-around padding, like the
+    reference's DistributedSampler) — unequal counts would desync lockstep
+    multi-process training."""
+    d = toy(n_mols=7, n_atoms=4)
+    loaders = [DataLoader(d, batch_size=2, shard=(3, r), dtype=jnp.float64)
+               for r in range(3)]
+    lens = [len(dl) for dl in loaders]
+    assert lens == [2, 2, 2]
+    counts = [sum(1 for _ in dl) for dl in loaders]
+    assert counts == lens
+    # every molecule still appears at least once across the shards
+    seen = set()
+    for dl in loaders:
+        for batch in dl:
+            for b in range(batch.pos.shape[0]):
+                if bool(np.asarray(batch.mask)[b].any()):
+                    seen.add(round(float(np.asarray(batch.pos)[b].sum()), 6))
+    all_ids = {round(float(np.asarray(d[i].pos).sum()), 6) for i in range(7)}
+    assert seen == all_ids
+
+
 def test_loss_ignores_dummy_molecules():
     d = toy(n_mols=3)
     samples = [d[i] for i in range(3)]

@@ -231,3 +231,32 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree_util.tree_leaves(ga),
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+@pytest.mark.parametrize("variant", [
+    dict(scan_unroll=3),
+    dict(remat=True, remat_policy="dots"),
+    dict(remat=True, remat_policy="dots_no_batch"),
+])
+def test_scan_unroll_and_remat_policy_match_default(variant):
+    """The scheduling knobs (scan unroll, checkpoint policy) change compiler
+    strategy only — values and gradients are bitwise-insensitive to them.
+    (All three variants were measured slower than the defaults on v5e at the
+    bench workload — kept as infrastructure; see RESULTS.md.)"""
+    rng = np.random.default_rng(23)
+    sys0 = make_onehot_system(rng, B=2, N=5)
+    cfg_a = flow_cfg()
+    cfg_b = flow_cfg(**variant)
+    params = init_flow(jax.random.PRNGKey(24), cfg_a, DTYPE)
+    key = jax.random.PRNGKey(25)
+
+    def loss(params, cfg):
+        out, ldj = forward(params, cfg, sys0, key)
+        return alchemical_nll(out, ldj, 0.62, 0.1)
+
+    va, ga = jax.value_and_grad(loss)(params, cfg_a)
+    vb, gb = jax.value_and_grad(loss)(params, cfg_b)
+    assert float(va) == pytest.approx(float(vb), rel=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
