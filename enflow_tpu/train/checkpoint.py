@@ -44,6 +44,14 @@ def load_hparams(path) -> dict:
         return json.loads(bytes(z["hparams"]).decode())
 
 
+def has_tree(path, name: str) -> bool:
+    """Whether the checkpoint stores any leaves under ``name`` (e.g.
+    checkpoints imported from the reference carry ``params`` but no
+    ``opt_state``)."""
+    with np.load(path) as z:
+        return any(k.startswith(name + "_") for k in z.files)
+
+
 def load_checkpoint(path, templates: dict):
     """Load the named trees in ``templates`` (freshly-initialized pytrees of
     the right structure). Returns ``(trees, hparams)``."""

@@ -44,7 +44,8 @@ from ..utils import conversion as cv
 from ..utils.constants import sigma
 from ..utils.observe import (MetricsLogger, assert_all_finite, nan_guard,
                              profile_trace)
-from .checkpoint import load_checkpoint, load_hparams, save_checkpoint
+from .checkpoint import (has_tree, load_checkpoint, load_hparams,
+                         save_checkpoint)
 
 
 def eprint(*args, **kwargs):
@@ -299,7 +300,14 @@ class Main:
         if self.mode == "train":
             tr = args["training"]
             lr = float(tr["lr"])
-            if tr.get("scheduler"):
+            sched_flag = tr.get("scheduler")
+            # YAML parses bare `No` as False, but a *quoted* "No"/"no"
+            # arrives as a truthy string — honor the reference schema's
+            # intent either way (reference requires `scheduler: No`)
+            if isinstance(sched_flag, str) and sched_flag.lower() in (
+                    "no", "false", "none", "off"):
+                sched_flag = False
+            if sched_flag:
                 schedule = optax.exponential_decay(
                     init_value=lr,
                     transition_steps=int(float(tr["scheduler_step"])),
@@ -339,10 +347,17 @@ class Main:
         # restore state
         if checkpoint_hparams is not None:
             if self.mode == "train":
-                template = {"params": self.params, "opt_state": self.opt_state}
+                template = {"params": self.params}
+                # checkpoints imported from the reference (utils/torch_import)
+                # carry no optimizer state — resume with a fresh optimizer
+                if has_tree(self.checkpoint_path, "opt_state"):
+                    template["opt_state"] = self.opt_state
+                elif self.is_main:
+                    eprint("checkpoint has no optimizer state (imported?); "
+                           "starting with a fresh optimizer", flush=True)
                 tree, _ = load_checkpoint(self.checkpoint_path, template)
                 self.params = tree["params"]
-                self.opt_state = tree["opt_state"]
+                self.opt_state = tree.get("opt_state", self.opt_state)
             else:
                 tree, _ = load_checkpoint(self.checkpoint_path,
                                           {"params": self.params})
