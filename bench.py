@@ -44,10 +44,14 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None):
     # cluster workload: static all-pairs adjacency (no distance tests) and
     # bf16 message-passing internals (exactness of the flow inverse is
     # precision-independent; see nn/egcl.py)
+    # exact_ldj: the SMC proposal density must use the true log-det
+    # (3*Q.sum per step), not the reference's NLL-parity Q.sum quirk —
+    # the parity ldj would bias the importance weights and log_Z
+    # (same multiply count either way; throughput unaffected)
     cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
                      egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
                                      compute_dtype=compute_dtype),
-                     nbr_mode="all_pairs")
+                     nbr_mode="all_pairs", exact_ldj=True)
     params = init_flow(jax.random.PRNGKey(0), cfg, dtype)
 
     box = jnp.full((1, 3), 1e3, dtype)       # cluster: effectively no PBC

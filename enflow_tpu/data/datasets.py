@@ -292,25 +292,44 @@ class DataLoader:
         import threading
 
         q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _END, _ERR = object(), object()
+
+        def put(item):
+            # bounded-blocking put that aborts when the consumer goes away —
+            # otherwise an abandoned iterator (break / exception mid-epoch)
+            # would leave the worker blocked on a full queue forever,
+            # pinning its batches for the life of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
-                q.put(_END)
+                    if not put(batch):
+                        return
+                put(_END)
             except BaseException as e:   # surface errors in the consumer
-                q.put((_ERR, e))
+                put((_ERR, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] is _ERR):
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
 
 
 # --- registry (the reference's reflection scheme, main.py:68) --------------

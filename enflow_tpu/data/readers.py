@@ -129,25 +129,37 @@ class MDDataset(InMemoryDataset):
 
 @register_dataset("largemd")
 class LargeMDDataset(BaseDataset):
-    """Lazy per-index trajectory reader (reference md.py:7-23): nothing is
-    materialized; each __getitem__ parses one frame."""
+    """Lazy per-index trajectory reader (reference md.py:7-23): Samples are
+    built per access (no materialized Sample list); the parsed raw frames and
+    topology are cached once per instance — the parsers return whole-file
+    frame lists, so re-parsing per ``__getitem__`` would make dataset startup
+    quadratic in trajectory length."""
+
+    def _frames(self):
+        if not hasattr(self, "_frame_cache"):
+            self._frame_cache = _frames_index(self.input_params["traj_file"])
+        return self._frame_cache
+
+    def _symbols(self, natoms):
+        if not hasattr(self, "_symbol_cache"):
+            top = self.input_params.get("top_file")
+            if top:
+                names, _, _, _ = _parse_topology(top)
+                self._symbol_cache = [_element_from_name(n) for n in names]
+            else:
+                self._symbol_cache = ["C"] * natoms
+        return self._symbol_cache
 
     def __len__(self):
-        traj = self.input_params["traj_file"]
-        return len(_frames_index(traj))
+        return len(self._frames())
 
     def __getitem__(self, idx):
         traj = self.input_params["traj_file"]
-        top = self.input_params.get("top_file")
         dist_unit = self.input_params.get("dist_unit", "ang")
         time_unit = self.input_params.get("time_unit", "pico")
-        pos, vel = _frames_index(traj)[idx]
+        pos, vel = self._frames()[idx]
         file_d, file_t = _traj_units(traj)
-        if top:
-            names, _, _, _ = _parse_topology(top)
-            z = [_element_from_name(n) for n in names]
-        else:
-            z = ["C"] * pos.shape[0]
+        z = self._symbols(pos.shape[0])
         return self._get_sample(
             z, pos * _dist_scale(file_d, dist_unit),
             None if vel is None else

@@ -115,15 +115,17 @@ def init_flow(key, cfg: FlowConfig, dtype=jnp.float32):
         dequant = argmax_deq.init_argmax(dkey, cfg.egcl.node_nf,
                                          cfg.egcl.hidden_nf, dtype)
     elif cfg.dequantizer == "floor":
-        dequant = floor_deq.init_floor(cfg.dequant_scale)
+        dequant = floor_deq.init_floor()
     else:
         raise ValueError(cfg.dequantizer)
     return {"networks": networks, "dequant": dequant}
 
 
 def _dequant_forward(params, cfg, h, mask, key):
-    mod = argmax_deq if cfg.dequantizer == "argmax" else floor_deq
-    return mod.forward(params["dequant"], h, mask, key)
+    if cfg.dequantizer == "argmax":
+        return argmax_deq.forward(params["dequant"], h, mask, key)
+    # Floor's scale is static config, not a parameter (see nn/floor.py)
+    return floor_deq.forward(cfg.dequant_scale, h, mask, key)
 
 
 def _dequant_reverse(cfg, h, mask):
@@ -277,7 +279,8 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         ldj = ldj - 0.5 * _ldj_sum(cfg, Q2)
         return (s, (Q2, F2, G2)), ldj
 
-    (sys, _), ldj_steps = jax.lax.scan(step, (sys, QFG_last), rest,
+    (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step),
+                                       (sys, QFG_last), rest,
                                        reverse=True, unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0)
 

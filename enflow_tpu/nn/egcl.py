@@ -174,8 +174,13 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
     else:
         h_j = jax.vmap(lambda hb, ib: hb[ib])(h, nbr_idx)      # [B,N,K,nf]
 
-    if (cfg.use_pallas and cfg.use_pallas != "v2"
-            and not (cfg.attention or cfg.norm_diff or cfg.tanh)):
+    if cfg.use_pallas and cfg.use_pallas != "v2":
+        if cfg.attention or cfg.norm_diff or cfg.tanh:
+            # same contract as the v2 kernel (apply_egcl_fused_allpairs):
+            # fail loudly rather than silently benchmarking the XLA path
+            raise ValueError(
+                "use_pallas requires attention/norm_diff/tanh off; the "
+                "fused edge kernel implements only the default EGCL path")
         B, N, nf = h.shape
         radial = (coord_diff * coord_diff).sum(-1, keepdims=True)
         full = jnp.broadcast_to(h_j, radial.shape[:-1] + (nf,))

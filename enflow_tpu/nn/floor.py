@@ -4,6 +4,12 @@ Parity with reference ``enflow/nn/floor.py:5-14``: forward adds uniform noise
 scaled by ``dequant_scale`` with zero log-density contribution; reverse is
 ``floor``. Not wired into the reference driver (ArgMax is hardcoded,
 reference main.py:153); here it is selectable from config.
+
+The scale is *static* (``FlowConfig.dequant_scale``), not a parameter: the
+reference keeps it as a plain attribute too, and making it trainable would
+be wrong — ``log_q`` is 0 only for a fixed scale (a learned scale would need
+a ``-sum(log scale)`` density term, and any scale > 1 breaks the
+``floor``-based inverse).
 """
 
 import jax
@@ -11,13 +17,13 @@ import jax.numpy as jnp
 
 
 def init_floor(dequant_scale=1.0):
-    # No trainable parameters; keep scale as static config-like state.
-    return {"dequant_scale": jnp.asarray(dequant_scale)}
+    # No trainable parameters and no state: the scale lives in FlowConfig.
+    return {}
 
 
-def forward(params, h, atom_mask, key):
+def forward(scale, h, atom_mask, key):
     noise = jax.random.uniform(key, h.shape, h.dtype)
-    z = h + params["dequant_scale"].astype(h.dtype) * noise
+    z = h + jnp.asarray(scale, h.dtype) * noise
     return (jnp.where(atom_mask[..., None], z, 0.0),
             jnp.zeros((h.shape[0],), h.dtype))
 

@@ -221,33 +221,41 @@ class HMCResult(NamedTuple):
 def run_hmc(key, x0, log_prob: Callable, *, n_samples: int, n_warmup: int = 0,
             step_size=0.1, n_leapfrog: int = 10, thin: int = 1) -> HMCResult:
     """Run vmapped HMC chains. ``x0`` has a leading chain axis ``[C, ...]``;
-    ``log_prob`` maps one chain state to a scalar."""
+    ``log_prob`` maps one chain state to a scalar.
+
+    The current-state log density rides along in the carry (the kernel's
+    ``log_prob_x`` fast path), so each step costs exactly one fresh density
+    evaluation at the proposal — for flow targets a density call is a full
+    flow forward, so recomputing ``log_prob(x)`` per step would double the
+    hot-path cost."""
     kernel = jax.vmap(
-        lambda k, x: hmc_kernel(k, x, log_prob, step_size, n_leapfrog),
-        in_axes=(0, 0))
+        lambda k, x, lp: hmc_kernel(k, x, log_prob, step_size, n_leapfrog,
+                                    log_prob_x=lp),
+        in_axes=(0, 0, 0))
     n_chains = jax.tree_util.tree_leaves(x0)[0].shape[0]
+    lp0 = jax.vmap(log_prob)(x0)
 
     def sweep(carry, k):
-        x, acc = carry
+        x, lp, acc = carry
         keys = jax.random.split(k, n_chains)
 
         def one(i, xa):
-            x, a = xa
-            x, accepted, _ = kernel(jax.vmap(jax.random.fold_in,
-                                             (0, None))(keys, i), x)
-            return x, a + accepted.mean()
+            x, lp, a = xa
+            x, accepted, lp = kernel(jax.vmap(jax.random.fold_in,
+                                              (0, None))(keys, i), x, lp)
+            return x, lp, a + accepted.mean()
 
-        x, acc_inc = jax.lax.fori_loop(0, thin, one, (x, 0.0))
-        return (x, acc + acc_inc / thin), x
+        x, lp, acc_inc = jax.lax.fori_loop(0, thin, one, (x, lp, 0.0))
+        return (x, lp, acc + acc_inc / thin), x
 
     # warmup (discarded)
     key, kw = jax.random.split(key)
     if n_warmup:
-        (x0, _), _ = jax.lax.scan(
-            sweep, (x0, 0.0), jax.random.split(kw, n_warmup))
+        (x0, lp0, _), _ = jax.lax.scan(
+            sweep, (x0, lp0, 0.0), jax.random.split(kw, n_warmup))
 
-    (xf, acc), samples = jax.lax.scan(
-        sweep, (x0, 0.0), jax.random.split(key, n_samples))
+    (xf, _, acc), samples = jax.lax.scan(
+        sweep, (x0, lp0, 0.0), jax.random.split(key, n_samples))
     return HMCResult(samples=samples, final_state=xf,
                      accept_rate=acc / n_samples)
 
@@ -261,28 +269,30 @@ def dual_averaging_warmup(key, x0, log_prob: Callable, *, n_adapt: int = 100,
     (mean acceptance statistic).
     """
     kernel = jax.vmap(
-        lambda k, x, eps: hmc_kernel(k, x, log_prob, eps, n_leapfrog),
-        in_axes=(0, 0, None))
+        lambda k, x, lp, eps: hmc_kernel(k, x, log_prob, eps, n_leapfrog,
+                                         log_prob_x=lp),
+        in_axes=(0, 0, 0, None))
     n_chains = jax.tree_util.tree_leaves(x0)[0].shape[0]
+    lp0 = jax.vmap(log_prob)(x0)
 
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def step(carry, tk):
         t, k = tk
-        x, log_eps, log_eps_bar, h_bar = carry
+        x, lp, log_eps, log_eps_bar, h_bar = carry
         keys = jax.random.split(k, n_chains)
-        x, accepted, _ = kernel(keys, x, jnp.exp(log_eps))
+        x, accepted, lp = kernel(keys, x, lp, jnp.exp(log_eps))
         a = accepted.mean()
         tt = t + 1.0
         h_bar = (1.0 - 1.0 / (tt + t0)) * h_bar + (target_accept - a) / (tt + t0)
         log_eps = mu - jnp.sqrt(tt) / gamma * h_bar
         w = tt ** (-kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (x, log_eps, log_eps_bar, h_bar), a
+        return (x, lp, log_eps, log_eps_bar, h_bar), a
 
-    init = (x0, jnp.log(init_step_size), jnp.log(init_step_size), 0.0)
-    (x, _, log_eps_bar, _), _ = jax.lax.scan(
+    init = (x0, lp0, jnp.log(init_step_size), jnp.log(init_step_size), 0.0)
+    (x, _, _, log_eps_bar, _), _ = jax.lax.scan(
         step, init,
         (jnp.arange(n_adapt, dtype=jnp.float32),
          jax.random.split(key, n_adapt)))

@@ -67,10 +67,15 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
             diff = x[:, None, :] - x[None, :, :]
             d2 = (diff * diff).sum(-1)
             iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-            r_sq = jnp.where(iu, d2, 1.0) + softening
+            # exclude bitwise-coincident pairs like the NLL does
+            # (flow/loss.py d2 != 0 guard): with traced softening this
+            # branch runs even when the anneal reaches s == 0, where
+            # r_sq = 0 would give inf - inf = NaN
+            valid = iu & (d2 > 0.0)
+            r_sq = jnp.where(valid, d2, 1.0) + softening
             r6 = r_sq * r_sq * r_sq
             e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
-            u = jnp.where(iu, e, 0.0).sum()
+            u = jnp.where(valid, e, 0.0).sum()
         u = u + c_osc * ((x - com) ** 2).sum()
         if e_cap is not None:
             u = regularize_energy(u, e_cap)

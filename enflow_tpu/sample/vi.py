@@ -15,6 +15,7 @@ flowing through the deterministic reverse flow ``R`` (``flow.reverse_core``).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -47,7 +48,16 @@ def flow_vi_loss(params, cfg: FlowConfig, base_batch: System,
 
     ``target_log_prob`` maps a System batch to per-molecule ``[B]`` log
     densities.
+
+    The ldj here is the *true* log-det (``exact_ldj`` forced on): the KL
+    identity requires log q(x) = log p0(z) - ldj_R with the mathematical
+    Jacobian. ``FlowConfig.exact_ldj=False`` is an NLL-parity quirk
+    (reference accumulates ``Q.sum()`` though the velocity scaling acts on
+    all 3 components — flow/integrators.py docstring); training VI with the
+    parity ldj would optimize a mis-weighted objective (1/3 of the volume
+    term), and sampling with it would bias SMC/AIS importance weights.
     """
+    cfg = dataclasses.replace(cfg, exact_ldj=True)
     out, ldj = reverse_core(params, cfg, base_batch)
     return -(ldj + target_log_prob(out)).mean(), out
 

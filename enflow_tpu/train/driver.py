@@ -20,6 +20,7 @@ all-reduce — no DDP wrapper, no explicit loss all_reduce, no barriers
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -292,6 +293,9 @@ class Main:
             **self._cell_params(dyn),
             exact_ldj=bool(dyn.get("exact_ldj", False)),
             remat=bool(dyn.get("remat", True)),
+            remat_policy=dyn.get("remat_policy"),
+            scan_unroll=int(dyn.get("scan_unroll", 1)),
+            dequant_scale=float(dyn.get("dequant_scale", 1.0)),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)
@@ -761,7 +765,11 @@ class Main:
         P = int(sec.get("n_particles", 1024))
         box = float(sec["target"].get("box", 1e3))
         r_cut = float(sec["target"].get("r_cut", 1e2))
-        params, cfg, dtype = self.params, self.flow_cfg, self.dtype
+        # the flow-pushforward density needs the TRUE log-det, not the
+        # NLL-parity ldj (factor-1 Q.sum quirk) — wrong ldj biases the
+        # SMC/AIS importance weights and log_Z (see sample/vi.py)
+        cfg = dataclasses.replace(self.flow_cfg, exact_ldj=True)
+        params, dtype = self.params, self.dtype
         node_nf = self.node_nf
         mask = jnp.ones((1, n_atoms), bool)
         boxa = jnp.full((1, 3), box, dtype)

@@ -140,6 +140,55 @@ def test_dataloader_sharding_uneven_lockstep():
     assert seen == all_ids
 
 
+def test_prefetch_worker_exits_on_abandoned_iteration():
+    """Breaking out of a prefetching loader must stop the worker thread —
+    otherwise it blocks forever on the full queue, pinning its batches."""
+    import threading
+    import time
+
+    d = toy(n_mols=8)
+    dl = DataLoader(d, batch_size=1, dtype=jnp.float64, prefetch=1)
+    n0 = threading.active_count()
+    it = iter(dl)
+    next(it)
+    it.close()   # generator finally -> stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == n0
+
+
+def test_largemd_parses_trajectory_once(tmp_path, monkeypatch):
+    """LargeMDDataset caches the parsed frames: __len__ + every __getitem__
+    must not re-parse the file (startup was quadratic otherwise)."""
+    from enflow_tpu.data import readers
+
+    xyz = tmp_path / "traj.xyz"
+    rng = np.random.default_rng(0)
+    with open(xyz, "w") as f:
+        for _ in range(6):
+            f.write("3\nc\n")
+            for sym in ("C", "O", "H"):
+                x, y, z = rng.uniform(-2, 2, 3)
+                f.write(f"{sym} {x:.4f} {y:.4f} {z:.4f}\n")
+
+    calls = {"n": 0}
+    real = readers._frames_index
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(readers, "_frames_index", counting)
+    d = readers.LargeMDDataset(traj_file=str(xyz), r_cut=3.0,
+                               box=[8.0, 8.0, 8.0])
+    assert len(d) == 6
+    for i in range(len(d)):
+        assert d[i].num_atoms == 3
+    assert d.max_atoms == 3
+    assert calls["n"] == 1
+
+
 def test_loss_ignores_dummy_molecules():
     d = toy(n_mols=3)
     samples = [d[i] for i in range(3)]

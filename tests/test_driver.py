@@ -167,6 +167,26 @@ def test_dataset_mode_caches(tmp_path):
     assert os.path.exists(cache)
 
 
+def test_flow_knobs_reach_config_from_yaml(tmp_path):
+    """dynamics.{scan_unroll, remat_policy, dequant_scale, dequantizer} are
+    YAML-reachable (not silently dropped on the FlowConfig)."""
+    import yaml as _yaml
+
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cfg = base_config(tmp_path, xyz)
+    cfg["dynamics"].update(scan_unroll=2, remat_policy="dots",
+                           dequantizer="floor", dequant_scale=0.5)
+    path = str(tmp_path / "knobs.yaml")
+    with open(path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    m = Main()
+    m.setup(path)
+    fc = m.flow_cfg
+    assert (fc.scan_unroll, fc.remat_policy, fc.dequantizer,
+            fc.dequant_scale) == (2, "dots", "floor", 0.5)
+
+
 def test_scheduler_decays_lr(tmp_path, capsys):
     xyz = str(tmp_path / "mols.xyz")
     write_xyz_dataset(xyz)

@@ -233,6 +233,30 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
 
 
+def test_vv_reverse_remat_matches_no_remat():
+    """The VV *reverse* scan is rematerialized too (flow-VI differentiates
+    reverse_core, so a non-remat reverse path would store every per-step
+    edge tensor regardless of FlowConfig.remat)."""
+    from enflow_tpu.flow import reverse_core
+
+    rng = np.random.default_rng(26)
+    sys0 = make_onehot_system(rng, B=2, N=5)
+    cfg_a = flow_cfg(integrator="vv", remat=False)
+    cfg_b = flow_cfg(integrator="vv", remat=True)
+    params = init_flow(jax.random.PRNGKey(27), cfg_a, DTYPE)
+
+    def loss(params, cfg):
+        out, ldj = reverse_core(params, cfg, sys0)
+        return (out.pos ** 2).sum() + ldj.sum()
+
+    va, ga = jax.value_and_grad(loss)(params, cfg_a)
+    vb, gb = jax.value_and_grad(loss)(params, cfg_b)
+    assert float(va) == pytest.approx(float(vb), rel=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
 @pytest.mark.parametrize("variant", [
     dict(scan_unroll=3),
     dict(remat=True, remat_policy="dots"),

@@ -196,8 +196,24 @@ def test_floor_roundtrip():
     rng = np.random.default_rng(8)
     h = jnp.asarray(rng.integers(0, 5, size=(2, 4, 3)), DTYPE)
     mask = jnp.ones((2, 4), bool)
-    params = floor_deq.init_floor(1.0)
-    z, ldj = floor_deq.forward(params, h, mask, jax.random.PRNGKey(9))
+    z, ldj = floor_deq.forward(1.0, h, mask, jax.random.PRNGKey(9))
     assert ldj.shape == (2,) and (np.asarray(ldj) == 0).all()
     np.testing.assert_allclose(np.asarray(floor_deq.reverse(z, mask)),
                                np.asarray(h))
+    # the scale is static config, NOT a trainable parameter: log_q = 0 is
+    # only correct for a fixed scale, and a trained scale > 1 would break
+    # the floor inverse
+    assert floor_deq.init_floor() == {}
+
+
+def test_pallas_v1_rejects_variant_flags():
+    """use_pallas='v1' must fail loudly with attention/norm_diff/tanh, not
+    silently benchmark the XLA fallback (same contract as the v2 kernel)."""
+    cfg = EGCLConfig(node_nf=3, hidden_nf=8, attention=True, use_pallas=True)
+    params = init_egcl(jax.random.PRNGKey(0), cfg, DTYPE)
+    h = jnp.zeros((1, 4, 3), DTYPE)
+    cd = jnp.zeros((1, 4, 4, 3), DTYPE)
+    idx = jnp.zeros((1, 4, 4), jnp.int32)
+    m = jnp.ones((1, 4, 4), bool)
+    with pytest.raises(ValueError, match="use_pallas"):
+        apply_egcl(params, cfg, h, cd, idx, m, jnp.ones((1, 4), bool))

@@ -120,6 +120,101 @@ def test_annealing_f32_particles_under_x64(algo):
     assert np.isfinite(float(res.log_Z))
 
 
+def test_flow_pushforward_density_self_normalized():
+    """Sharpest check that the flow-proposal density uses the TRUE log-det:
+    with proposal q0 = pushforward of N(0,I) through the flow (a normalized
+    density by construction) and target p = N(0,I) (normalized), AIS's
+    log_Z = log(Z_p / Z_q0) must be ~0. The NLL-parity ldj (Q.sum instead of
+    3*Q.sum) makes q0 effectively unnormalized and shifts log_Z by
+    E[2*sum(Q)] — made large here by biasing the velocity-scaling head."""
+    from enflow_tpu.data.system import System
+    from enflow_tpu.flow import FlowConfig, init_flow, forward_core, \
+        reverse_core
+    from enflow_tpu.nn.egcl import EGCLConfig
+
+    n_atoms, nf, n_iter = 2, 2, 2
+    params = init_flow(
+        jax.random.PRNGKey(0),
+        FlowConfig(n_iter=n_iter, dt=0.05,
+                   egcl=EGCLConfig(node_nf=nf, hidden_nf=8),
+                   nbr_mode="all_pairs"), DTYPE)
+    # push Q away from 0 so the parity-vs-exact difference is macroscopic
+    # (kept mild: the importance weights must stay light-tailed for the
+    # finite-P logmeanexp to resolve the offset)
+    params["networks"]["vel_scaling_nn"][1]["b"] = (
+        params["networks"]["vel_scaling_nn"][1]["b"] + 0.1)
+
+    mask = jnp.ones((1, n_atoms), bool)
+    box = jnp.full((1, 3), 1e3, DTYPE)
+    r_cut = jnp.full((1,), 1e2, DTYPE)
+
+    def to_system(x):
+        return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                      vel=x["vel"][None], mask=mask, box=box, r_cut=r_cut)
+
+    def gauss(s):
+        tot = 0.0
+        for f in (s.h, s.g, s.pos, s.vel):
+            tot = tot + (f * f).sum()
+        return -0.5 * tot        # unnormalized is fine: constants cancel in
+                                 # log(Z_p/Z_q0) when used for BOTH densities
+
+    def log_p(x):
+        return gauss(to_system(x))
+
+    def make_log_q0(exact):
+        import dataclasses as dc
+        cfg = FlowConfig(n_iter=n_iter, dt=0.05,
+                         egcl=EGCLConfig(node_nf=nf, hidden_nf=8),
+                         nbr_mode="all_pairs", exact_ldj=exact)
+
+        def log_q0(x):
+            out, ldj = forward_core(params, cfg, to_system(x))
+            return gauss(out) + ldj[0]
+        return cfg, log_q0
+
+    cfg_e, log_q0_exact = make_log_q0(True)
+    _, log_q0_parity = make_log_q0(False)
+
+    P = 8192
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    z = {"h": jax.random.normal(ks[0], (P, n_atoms, nf), DTYPE),
+         "g": jax.random.normal(ks[1], (P, n_atoms, nf), DTYPE),
+         "pos": jax.random.normal(ks[2], (P, n_atoms, 3), DTYPE),
+         "vel": jax.random.normal(ks[3], (P, n_atoms, 3), DTYPE)}
+    x0 = jax.vmap(lambda zz: jax.tree_util.tree_map(
+        lambda a: a[0], dict(zip(("h", "g", "pos", "vel"),
+                                 (lambda s: (s.h, s.g, s.pos, s.vel))(
+                                     reverse_core(params, cfg_e,
+                                                  to_system(zz))[0])))))(z)
+
+    def logz(log_q0):
+        res = ais(jax.random.PRNGKey(2), x0, log_q0=log_q0, log_p=log_p,
+                  n_temps=8, mcmc_steps=2, step_size=0.1, n_leapfrog=3)
+        return float(res.log_Z)
+
+    z_exact, z_parity = logz(log_q0_exact), logz(log_q0_parity)
+    # measured: exact -0.12 (finite-P AIS noise around 0), parity +2.19
+    # (the dropped 2*sum(Q) volume term, macroscopic by construction)
+    assert abs(z_exact) < 0.3, z_exact
+    assert z_parity > 1.0, z_parity
+
+
+def test_lj_cluster_traced_softening_zero_no_nan():
+    """With a *traced* softening (annealing schedules), the softened branch
+    runs even at s == 0 — coincident atoms must not produce inf - inf = NaN
+    (the NLL's d2 != 0 guard, applied here too)."""
+    t = targets.lj_cluster(4, kBT=1.0)
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0],   # coincident pair
+                     [1.2, 0.0, 0.0], [0.0, 1.2, 0.0]])
+
+    lp = jax.jit(lambda x, s: t.log_prob(x, softening=s))
+    assert np.isfinite(float(lp(x, 0.0)))
+    assert np.isfinite(float(lp(x, 0.1)))
+    g = jax.jit(jax.grad(lambda x, s: t.log_prob(x, softening=s)))(x, 0.0)
+    assert np.isfinite(np.asarray(g)[2:]).all()  # separated atoms' grads
+
+
 def test_smc_lj13_smoke():
     """Flow-SMC shape: 13-atom LJ cluster target from a Gaussian proposal."""
     t = targets.lj_cluster(13, kBT=2.0)

@@ -46,6 +46,33 @@ def run_main(tmp_path, cfg, name):
     return m
 
 
+def test_flow_vi_loss_forces_exact_ldj():
+    """flow_vi_loss must use the true log-det regardless of the NLL-parity
+    exact_ldj flag on the config (the KL identity needs the mathematical
+    Jacobian; sample/vi.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from enflow_tpu.data.system import System
+    from enflow_tpu.flow import FlowConfig, init_flow
+    from enflow_tpu.nn.egcl import EGCLConfig
+    from enflow_tpu.sample.vi import flow_vi_loss, make_system_target,\
+        sample_base
+
+    def cfgs(exact):
+        return FlowConfig(n_iter=2, dt=0.05,
+                          egcl=EGCLConfig(node_nf=3, hidden_nf=8),
+                          nbr_mode="all_pairs", exact_ldj=exact)
+
+    params = init_flow(jax.random.PRNGKey(0), cfgs(False), jnp.float64)
+    batch = sample_base(jax.random.PRNGKey(1), 4, 5, 3, box=1e3, r_cut=1e2,
+                        dtype=jnp.float64)
+    tgt = make_system_target(lambda pos: -0.5 * (pos ** 2).sum())
+    la, _ = flow_vi_loss(params, cfgs(False), batch, tgt)
+    lb, _ = flow_vi_loss(params, cfgs(True), batch, tgt)
+    assert float(la) == float(lb)
+
+
 def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
     cfg = vi_config(tmp_path)
     run_main(tmp_path, cfg, "vi.yaml")
