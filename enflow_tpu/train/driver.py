@@ -522,7 +522,8 @@ class Main:
     def _train_vi(self):
         """Data-free flow-VI training against a Boltzmann target
         (north-star; see sample/vi.py)."""
-        from ..sample.vi import flow_vi_loss, make_system_target, sample_base
+        from ..sample.vi import (flow_vi_loss, make_base_log_prob,
+                                 make_system_target, sample_base)
 
         tr = self.args["training"]
         tgt_sec = tr["target"]
@@ -533,6 +534,13 @@ class Main:
         base_sec = tr.get("base", {})
         box = float(tgt_sec.get("box", 1e3))
         r_cut = float(tgt_sec.get("r_cut", 1e2))
+        # training.stl: sticking-the-landing gradients (variance-reduced
+        # near convergence; +1 flow fwd/bwd per step — see sample/vi.py)
+        use_stl = bool(tr.get("stl", False))
+        base_lp = make_base_log_prob(
+            pos_std=float(base_sec.get("pos_std", 1.0)),
+            vel_std=float(base_sec.get("vel_std", 1.0)),
+            feat_std=float(base_sec.get("feat_std", 1.0)))
 
         # annealed training aids (VI quality): softening / energy cap start
         # high (smooth, bounded target) and decay linearly to the target's
@@ -600,7 +608,8 @@ class Main:
                     batch)
 
             def loss_fn(p):
-                loss, _ = flow_vi_loss(p, cfg, batch, sys_target(soft, cap))
+                loss, _ = flow_vi_loss(p, cfg, batch, sys_target(soft, cap),
+                                       stl=use_stl, base_log_prob=base_lp)
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

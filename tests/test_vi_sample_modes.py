@@ -73,6 +73,80 @@ def test_flow_vi_loss_forces_exact_ldj():
     assert float(la) == float(lb)
 
 
+def _stl_fixture():
+    import jax
+    import jax.numpy as jnp
+
+    from enflow_tpu.flow import FlowConfig, init_flow
+    from enflow_tpu.nn.egcl import EGCLConfig
+    from enflow_tpu.sample.vi import sample_base
+
+    cfg = FlowConfig(n_iter=2, dt=0.05,
+                     egcl=EGCLConfig(node_nf=3, hidden_nf=8),
+                     nbr_mode="all_pairs")
+    params = init_flow(jax.random.PRNGKey(5), cfg, jnp.float64)
+    batch = sample_base(jax.random.PRNGKey(6), 6, 4, 3, box=1e3, r_cut=1e2,
+                        dtype=jnp.float64)
+    return cfg, params, batch
+
+
+def test_stl_loss_value_matches_default_plus_base_term():
+    """STL and the default estimator compute the same objective: values
+    differ by exactly E[log p0(z)] (the param-independent constant the
+    default form drops). Pins the re-encode/base-density plumbing —
+    forward(reverse(z)) == z and log q = log p0 + ldj_fwd."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from enflow_tpu.sample.vi import (flow_vi_loss, make_base_log_prob,
+                                      make_system_target)
+
+    cfg, params, batch = _stl_fixture()
+    tgt = make_system_target(lambda pos: -0.5 * (pos ** 2).sum())
+    base_lp = make_base_log_prob()
+    l_std, _ = flow_vi_loss(params, cfg, batch, tgt)
+    l_stl, _ = flow_vi_loss(params, cfg, batch, tgt, stl=True,
+                            base_log_prob=base_lp)
+    lp0_mean = float(base_lp(batch).mean())
+    assert float(l_stl) == pytest.approx(float(l_std) + lp0_mean, rel=1e-10)
+
+
+def test_stl_gradient_vanishes_at_optimum():
+    """The STL property: when the target IS the flow's own (stopped)
+    pushforward density, the per-sample STL gradient is identically zero,
+    while the default estimator's score term leaves it nonzero (zero only
+    in expectation). This is the variance reduction, made exact."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from enflow_tpu.flow import forward_core
+    from enflow_tpu.sample.vi import flow_vi_loss, make_base_log_prob
+
+    cfg, params, batch = _stl_fixture()
+    base_lp = make_base_log_prob()
+    cfg_e = dataclasses.replace(cfg, exact_ldj=True)
+    sg = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+
+    def target(sys_b):   # q_{sg(phi)} as a fixed target density
+        z_re, ldj_f = forward_core(sg, cfg_e, sys_b)
+        return base_lp(z_re) + ldj_f
+
+    def norm(tree):
+        return float(sum(float((g ** 2).sum())
+                         for g in jax.tree_util.tree_leaves(tree)) ** 0.5)
+
+    g_stl = jax.grad(lambda p: flow_vi_loss(
+        p, cfg, batch, target, stl=True, base_log_prob=base_lp)[0])(params)
+    g_std = jax.grad(lambda p: flow_vi_loss(
+        p, cfg, batch, target)[0])(params)
+    assert norm(g_stl) < 1e-10 * max(norm(g_std), 1.0), (
+        norm(g_stl), norm(g_std))
+    assert norm(g_std) > 1e-3   # the score term really is there
+
+
 def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
     cfg = vi_config(tmp_path)
     run_main(tmp_path, cfg, "vi.yaml")
@@ -89,6 +163,18 @@ def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
         lines = f.read().strip().split("\n")
     assert lines[0].startswith("time,epoch,loss")
     assert len(lines) == 5
+
+
+def test_flow_vi_stl_trains(tmp_path, capsys):
+    """Driver e2e with training.stl: true — loss finite and decreasing."""
+    cfg = vi_config(tmp_path)
+    cfg["training"]["stl"] = True
+    run_main(tmp_path, cfg, "vi_stl.yaml")
+    out = capsys.readouterr().out
+    rows = [l for l in out.split("\n") if l.strip() and l[0].isdigit()]
+    losses = [float(r.split()[1]) for r in rows]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
 
 
 def test_sample_mode_smc(tmp_path, capsys):
