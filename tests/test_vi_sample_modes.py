@@ -165,6 +165,27 @@ def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
     assert len(lines) == 5
 
 
+def test_flow_vi_fused_epoch_matches_step_loop(tmp_path, capsys):
+    """training.fused_epoch (one lax.scan program per epoch, default) draws
+    the same fold_in key sequence as the per-step dispatch loop — final
+    parameters must agree to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = vi_config(tmp_path, n_epochs=2)
+    cfg["training"]["fused_epoch"] = True
+    m_fused = run_main(tmp_path, cfg, "vi_fused.yaml")
+    os.remove(cfg["dynamics"]["checkpoint_path"])
+    cfg["training"]["fused_epoch"] = False
+    cfg["training"]["metrics_csv"] = str(tmp_path / "metrics2.csv")
+    m_loop = run_main(tmp_path, cfg, "vi_loop.yaml")
+    capsys.readouterr()
+    for a, b in zip(jax.tree_util.tree_leaves(m_fused.params),
+                    jax.tree_util.tree_leaves(m_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8,
+                                   atol=1e-10)
+
+
 def test_flow_vi_stl_trains(tmp_path, capsys):
     """Driver e2e with training.stl: true — loss finite and decreasing."""
     cfg = vi_config(tmp_path)
