@@ -47,6 +47,7 @@ class SMCResult(NamedTuple):
     ess_history: jax.Array   # [n_temps]
     accept_history: jax.Array  # [n_temps]
     beta_history: jax.Array = None  # [n_temps] (adaptive schedules)
+    step_history: jax.Array = None  # [n_temps] (adapt_step=True)
 
 
 def _adaptive_delta(log_w, d, beta_prev, target_ess, n_bisect: int = 26):
@@ -141,11 +142,20 @@ def _rejuvenate(k, x, beta, vals, grads, *, log_q0, log_p, mcmc_steps,
     return x, acc / mcmc_steps, vals, grads
 
 
+def _adapted_step(step_size, accept, target_accept, gain: float = 1.0):
+    """Multiplicative step-size update from the measured mean acceptance
+    (log-space, fixed gain — the anneal is short, a decaying schedule would
+    barely move). Applied between temperatures, so MH correctness within
+    each temperature is untouched."""
+    return step_size * jnp.exp(gain * (accept - target_accept))
+
+
 def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, adaptive: bool = False,
         target_ess_frac: float = 0.6, mcmc_steps: int = 2,
         step_size=0.05, n_leapfrog: int = 5,
         resample_threshold: float = 0.5,
+        adapt_step: bool = False, target_accept: float = 0.65,
         batched: bool = False) -> SMCResult:
     """Tempered SMC from proposal samples to the target.
 
@@ -162,6 +172,11 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         extra MCMC refinement sweeps).
       mcmc_steps: HMC rejuvenation sweeps per temperature.
       resample_threshold: resample when ESS < threshold * P.
+      adapt_step: adapt the HMC step size between temperatures from the
+        measured mean acceptance (multiplicative log-space update toward
+        ``target_accept``); ``step_size`` becomes the initial value. The
+        update happens outside the MH kernels, so per-temperature
+        correctness is unaffected.
       batched: ``log_q0``/``log_p`` are *batched* — they map the full
         ``[P, ...]`` particle pytree to ``[P]`` log-densities in one program
         (gradients via one ones-cotangent VJP). Use for densities whose
@@ -187,7 +202,8 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         log_q0, log_p, x0, mcmc_steps, batched)
 
     def anneal_step(carry, inputs):
-        x, log_w, log_z, beta_carry, lq0_x, lp_x, glq0_x, glp_x = carry
+        (x, log_w, log_z, beta_carry, eps,
+         lq0_x, lp_x, glq0_x, glp_x) = carry
         beta_sched, beta_prev_sched, k = inputs
         k_res, k_mcmc = jax.random.split(k)
 
@@ -232,30 +248,37 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
             k_mcmc, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
-            step_size=step_size, n_leapfrog=n_leapfrog, P=P,
+            step_size=eps, n_leapfrog=n_leapfrog, P=P,
             batched=batched)
-        return ((x, log_w, log_z, beta, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc, beta))
+        eps_next = (_adapted_step(eps, acc, target_accept)
+                    if (adapt_step and mcmc_steps > 0) else eps)
+        return ((x, log_w, log_z, beta, eps_next,
+                 lq0_x, lp_x, glq0_x, glp_x),
+                (ess, acc, beta, eps))
 
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
-    (x, log_w, log_z, _, *_), (ess_hist, acc_hist, beta_hist) = jax.lax.scan(
+    ((x, log_w, log_z, *_),
+     (ess_hist, acc_hist, beta_hist, step_hist)) = jax.lax.scan(
         anneal_step,
         (x0, init_w, jnp.zeros((), betas.dtype),
-         jnp.zeros((), betas.dtype), lq0_0, lp_0, glq0_0, glp_0),
+         jnp.zeros((), betas.dtype), jnp.asarray(step_size, betas.dtype),
+         lq0_0, lp_0, glq0_0, glp_0),
         (betas, betas_prev, keys))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
-                     beta_history=beta_hist)
+                     beta_history=beta_hist, step_history=step_hist)
 
 
 def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, mcmc_steps: int = 2, step_size=0.05,
-        n_leapfrog: int = 5, batched: bool = False) -> SMCResult:
+        n_leapfrog: int = 5, adapt_step: bool = False,
+        target_accept: float = 0.65, batched: bool = False) -> SMCResult:
     """Annealed importance sampling: SMC machinery without resampling.
 
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
-    estimate ``logmeanexp(log_w)``. ``batched`` as in :func:`smc`.
+    estimate ``logmeanexp(log_w)``. ``batched``/``adapt_step`` as in
+    :func:`smc`.
     """
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -269,7 +292,7 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         log_q0, log_p, x0, mcmc_steps, batched)
 
     def anneal_step(carry, inputs):
-        x, log_w, lq0_x, lp_x, glq0_x, glp_x = carry
+        x, log_w, eps, lq0_x, lp_x, glq0_x, glp_x = carry
         beta, beta_prev, k = inputs
         delta = beta - beta_prev
         log_w = log_w + delta * (lp_x - lq0_x)
@@ -277,18 +300,22 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         x, acc, (lq0_x, lp_x), (glq0_x, glp_x) = _rejuvenate(
             k, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
-            step_size=step_size, n_leapfrog=n_leapfrog, P=P,
+            step_size=eps, n_leapfrog=n_leapfrog, P=P,
             batched=batched)
+        eps_next = (_adapted_step(eps, acc, target_accept)
+                    if (adapt_step and mcmc_steps > 0) else eps)
         ess = ess_from_log_weights(log_w)
-        return ((x, log_w, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc))
+        return ((x, log_w, eps_next, lq0_x, lp_x, glq0_x, glp_x),
+                (ess, acc, eps))
 
     keys = jax.random.split(key, n_temps)
-    (x, log_w, *_), (ess_hist, acc_hist) = jax.lax.scan(
+    (x, log_w, *_), (ess_hist, acc_hist, step_hist) = jax.lax.scan(
         anneal_step, (x0, jnp.zeros((P,), betas.dtype),
+                      jnp.asarray(step_size, betas.dtype),
                       lq0_0, lp_0, glq0_0, glp_0),
         (betas, betas_prev, keys))
     log_z = (jax.scipy.special.logsumexp(log_w)
              - jnp.log(jnp.asarray(P, log_w.dtype)))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
-                     ess_history=ess_hist, accept_history=acc_hist)
+                     ess_history=ess_hist, accept_history=acc_hist,
+                     step_history=step_hist)

@@ -887,7 +887,10 @@ class Main:
                         n_temps=int(sec.get("n_temps", 10)),
                         mcmc_steps=int(sec.get("mcmc_steps", 1)),
                         step_size=float(sec.get("step_size", 0.02)),
-                        n_leapfrog=int(sec.get("n_leapfrog", 5)), **extra)
+                        n_leapfrog=int(sec.get("n_leapfrog", 5)),
+                        adapt_step=bool(sec.get("adapt_step", False)),
+                        target_accept=float(sec.get("target_accept", 0.65)),
+                        **extra)
 
         res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.particles)

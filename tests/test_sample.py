@@ -120,6 +120,32 @@ def test_annealing_f32_particles_under_x64(algo):
     assert np.isfinite(float(res.log_Z))
 
 
+@pytest.mark.parametrize("eps0", [0.2, 5.0])
+def test_adapt_step_recovers_from_bad_step_size(eps0):
+    """adapt_step=True pulls a mis-tuned step size toward the target
+    acceptance from either side (too small -> accept ~1 -> grows; too
+    large -> accept ~0 -> shrinks). Measured equilibria: eps 0.2 -> 1.48
+    and 5.0 -> 1.31 with tail acceptance ~0.6, where the fixed-step
+    control sits at 0.994 / 0.0."""
+    t = targets.gaussian((4,), std=1.0)
+    P = 256
+    x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(40), (P, 4), DTYPE)
+    log_q0 = lambda x: -0.125 * (x ** 2).sum()   # N(0, 2^2) up to const
+    res = smc(jax.random.PRNGKey(41), x0, log_q0=log_q0, log_p=t.log_prob,
+              n_temps=20, mcmc_steps=2, step_size=eps0, n_leapfrog=5,
+              adapt_step=True)
+    acc_tail = float(np.asarray(res.accept_history)[-4:].mean())
+    assert 0.35 < acc_tail < 0.9, acc_tail
+    eps_final = float(np.asarray(res.step_history)[-1])
+    assert 0.8 < eps_final < 2.5, eps_final
+    # fixed-step control really is degenerate at these step sizes
+    res_fixed = smc(jax.random.PRNGKey(41), x0, log_q0=log_q0,
+                    log_p=t.log_prob, n_temps=20, mcmc_steps=2,
+                    step_size=eps0, n_leapfrog=5)
+    acc_fixed = float(np.asarray(res_fixed.accept_history)[-4:].mean())
+    assert acc_fixed > 0.98 or acc_fixed < 0.05
+
+
 def test_flow_pushforward_density_self_normalized():
     """Sharpest check that the flow-proposal density uses the TRUE log-det:
     with proposal q0 = pushforward of N(0,I) through the flow (a normalized
