@@ -103,7 +103,7 @@ def hmc_kernel(key, x, log_prob: Callable, step_size, n_leapfrog: int,
 
 
 def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
-                        step_size, n_leapfrog: int, vals, grads):
+                        step_size, n_leapfrog: int, vals, grads, mass=None):
     """One HMC step targeting ``(1-beta) log_q0 + beta log_p`` with cached
     per-component values and gradients.
 
@@ -125,17 +125,25 @@ def tempered_hmc_kernel(key, x, log_q0: Callable, log_p: Callable, beta,
     """
     return _tempered_hmc(key, x, jax.value_and_grad(log_q0),
                          jax.value_and_grad(log_p), beta, step_size,
-                         n_leapfrog, vals, grads, _tree_dot)
+                         n_leapfrog, vals, grads, _tree_dot, mass=mass)
 
 
 def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
-                  tree_dot):
+                  tree_dot, mass=None):
     """Shared tempered-HMC core for the per-chain and batched kernels.
 
     ``vgq``/``vgp`` are value-and-grad callables; ``tree_dot`` computes the
     momentum inner product (``_tree_dot`` → scalar per-chain energies,
     ``_tree_dot_batched`` → ``[P]``). All selects broadcast the acceptance
     over trailing leaf axes, which is a no-op in the scalar case.
+
+    ``mass``: optional pytree of per-coordinate POSITION scales ``s``
+    (e.g. the target's marginal stds) broadcastable against the state
+    leaves. Sets the mass matrix to the inverse covariance,
+    ``M = diag(1/s^2)`` — the optimal diagonal choice for a target with
+    stds ``s``: ``p ~ N(0, 1/s^2)``, drift ``q += eps * s^2 * p``,
+    kinetic ``sum((s*p)^2) / 2``. Equivalent to unit-mass HMC in the
+    whitened coordinates ``q / s`` with position moves ~ ``eps * s``.
     """
     w0, w1 = 1.0 - beta, beta
 
@@ -147,11 +155,34 @@ def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
 
     kmom, kacc = jax.random.split(key)
     p0 = _tree_randn_like(kmom, x)
+    if mass is not None:
+        p0 = jax.tree_util.tree_map(
+            lambda n, s: n / jnp.asarray(s, n.dtype), p0, mass)
+
+        def drift(q, p):
+            return jax.tree_util.tree_map(
+                lambda qq, pp, s: qq + (jnp.asarray(step_size, qq.dtype)
+                                        * jnp.asarray(s * s, qq.dtype) * pp),
+                q, p, mass)
+
+        def scaled(p):
+            return jax.tree_util.tree_map(
+                lambda pp, s: pp * jnp.asarray(s, pp.dtype), p, mass)
+
+        def kinetic(p):
+            ps = scaled(p)
+            return tree_dot(ps, ps)
+    else:
+        def drift(q, p):
+            return _tree_axpy(step_size, p, q)
+
+        def kinetic(p):
+            return tree_dot(p, p)
 
     def leapfrog(carry, _):
         q, p, gq, gp, _, _ = carry
         p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
-        q = _tree_axpy(step_size, p, q)
+        q = drift(q, p)
         vq, gq = vgq(q)
         vp, gp = vgp(q)
         p = _tree_axpy(0.5 * step_size, comb(gq, gp), p)
@@ -163,8 +194,8 @@ def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
 
     lp0 = w0 * vals[0] + w1 * vals[1]            # [] per-chain | [P] batched
     lp1 = w0 * vq_new + w1 * vp_new
-    h0 = -lp0 + 0.5 * tree_dot(p0, p0)
-    h1 = -lp1 + 0.5 * tree_dot(p_new, p_new)
+    h0 = -lp0 + 0.5 * kinetic(p0)
+    h1 = -lp1 + 0.5 * kinetic(p_new)
     accept = jnp.log(jax.random.uniform(kacc, lp0.shape, lp0.dtype)) < h0 - h1
 
     sel = lambda a, b: jax.tree_util.tree_map(
@@ -177,14 +208,16 @@ def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
 
 
 def tempered_hmc_kernel_batched(key, x, vgq: Callable, vgp: Callable, beta,
-                                step_size, n_leapfrog: int, vals, grads):
+                                step_size, n_leapfrog: int, vals, grads,
+                                mass=None):
     """Batched-particle :func:`tempered_hmc_kernel`: ``x`` is ``[P, ...]``;
     ``vgq``/``vgp`` are *batched* value-and-grad callables (see
     :func:`batched_value_and_grad`) returning ``([P], [P, ...])``. One key
     drives all particles (leading-axis draws are independent). Same component
-    caching contract as the per-chain kernel."""
+    caching contract as the per-chain kernel; ``mass`` leaves have no
+    leading P axis and broadcast across particles."""
     return _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog,
-                         vals, grads, _tree_dot_batched)
+                         vals, grads, _tree_dot_batched, mass=mass)
 
 
 def mala_kernel(key, x, log_prob: Callable, step_size,

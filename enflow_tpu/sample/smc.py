@@ -105,8 +105,21 @@ def _init_component_caches(log_q0, log_p, x0, mcmc_steps,
     return jax.vmap(log_q0)(x0), jax.vmap(log_p)(x0), None, None
 
 
+def _ensemble_mass(x):
+    """Per-coordinate momentum scales from the particle ensemble: the std
+    across particles, floored at 5% of the leaf RMS so a degenerate
+    coordinate (e.g. post-resampling collapse) cannot blow up the
+    preconditioned drift ``p / s^2``."""
+    def leaf_mass(a):
+        s = a.std(axis=0)
+        rms = jnp.sqrt((a * a).mean())
+        return jnp.maximum(s, 0.05 * rms + 1e-6)
+    return jax.tree_util.tree_map(leaf_mass, x)
+
+
 def _rejuvenate(k, x, beta, vals, grads, *, log_q0, log_p, mcmc_steps,
-                step_size, n_leapfrog, P, batched: bool = False):
+                step_size, n_leapfrog, P, batched: bool = False,
+                mass=None):
     """``mcmc_steps`` tempered-HMC sweeps over all particles, threading the
     component caches. Returns ``(x, mean_accept, vals, grads)``."""
     from .mcmc import (batched_value_and_grad, tempered_hmc_kernel,
@@ -119,12 +132,13 @@ def _rejuvenate(k, x, beta, vals, grads, *, log_q0, log_p, mcmc_steps,
         vgq = batched_value_and_grad(log_q0)
         vgp = batched_value_and_grad(log_p)
         kernel = lambda kk, xx, vals, grads: tempered_hmc_kernel_batched(
-            kk, xx, vgq, vgp, beta, step_size, n_leapfrog, vals, grads)
+            kk, xx, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
+            mass=mass)
     else:
         kernel = jax.vmap(
             lambda kk, xx, vals, grads: tempered_hmc_kernel(
                 kk, xx, log_q0, log_p, beta, step_size, n_leapfrog,
-                vals, grads),
+                vals, grads, mass=mass),
             in_axes=(0, 0, 0, 0))
 
     def mcmc_sweep(i, xa):
@@ -156,6 +170,7 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         step_size=0.05, n_leapfrog: int = 5,
         resample_threshold: float = 0.5,
         adapt_step: bool = False, target_accept: float = 0.65,
+        precondition: bool = False,
         batched: bool = False) -> SMCResult:
     """Tempered SMC from proposal samples to the target.
 
@@ -177,6 +192,12 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         ``target_accept``); ``step_size`` becomes the initial value. The
         update happens outside the MH kernels, so per-temperature
         correctness is unaffected.
+      precondition: diagonal mass-matrix preconditioning — per-coordinate
+        momentum scales set to the particle-ensemble std at each
+        temperature (standard adaptive-SMC practice; fixed within a
+        temperature's MH sweeps). Helps anisotropic targets where one
+        global step size either stalls the wide directions or rejects on
+        the narrow ones.
       batched: ``log_q0``/``log_p`` are *batched* — they map the full
         ``[P, ...]`` particle pytree to ``[P]`` log-densities in one program
         (gradients via one ones-cotangent VJP). Use for densities whose
@@ -249,7 +270,8 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
             k_mcmc, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
             step_size=eps, n_leapfrog=n_leapfrog, P=P,
-            batched=batched)
+            batched=batched,
+            mass=_ensemble_mass(x) if precondition else None)
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
         return ((x, log_w, log_z, beta, eps_next,
@@ -273,12 +295,13 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
 def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, mcmc_steps: int = 2, step_size=0.05,
         n_leapfrog: int = 5, adapt_step: bool = False,
-        target_accept: float = 0.65, batched: bool = False) -> SMCResult:
+        target_accept: float = 0.65, precondition: bool = False,
+        batched: bool = False) -> SMCResult:
     """Annealed importance sampling: SMC machinery without resampling.
 
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
-    estimate ``logmeanexp(log_w)``. ``batched``/``adapt_step`` as in
-    :func:`smc`.
+    estimate ``logmeanexp(log_w)``. ``batched``/``adapt_step``/
+    ``precondition`` as in :func:`smc`.
     """
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -301,7 +324,8 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
             k, x, beta, (lq0_x, lp_x), (glq0_x, glp_x),
             log_q0=log_q0, log_p=log_p, mcmc_steps=mcmc_steps,
             step_size=eps, n_leapfrog=n_leapfrog, P=P,
-            batched=batched)
+            batched=batched,
+            mass=_ensemble_mass(x) if precondition else None)
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
         ess = ess_from_log_weights(log_w)

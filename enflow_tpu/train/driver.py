@@ -890,6 +890,7 @@ class Main:
                         n_leapfrog=int(sec.get("n_leapfrog", 5)),
                         adapt_step=bool(sec.get("adapt_step", False)),
                         target_accept=float(sec.get("target_accept", 0.65)),
+                        precondition=bool(sec.get("precondition", False)),
                         **extra)
 
         res = run(jax.random.PRNGKey(self.seed + 31))
