@@ -259,14 +259,16 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         if self.num_shards > 1 and n % self.num_shards:
-            # pad by wrap-around so every shard sees the same number of
-            # samples — and therefore the same number of batches. Unequal
+            # pad by modular wrap-around so every shard sees the same number
+            # of samples — and therefore the same number of batches. Unequal
             # shard lengths would desync lockstep multi-process training
             # (every process must enter the same jitted collectives the
             # same number of times). Same semantics as the reference's
             # DistributedSampler (torch pads with repeated samples).
-            pad = self.num_shards - n % self.num_shards
-            idx = np.concatenate([idx, idx[:pad]])
+            # Modular indexing (not idx[:pad]) also covers n < num_shards,
+            # where a single wrap cannot supply enough padding.
+            total = -(-n // self.num_shards) * self.num_shards
+            idx = idx[np.arange(total) % n]
         return idx[self.shard_index::self.num_shards]
 
     def __len__(self):

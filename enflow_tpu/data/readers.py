@@ -141,13 +141,13 @@ class LargeMDDataset(BaseDataset):
         return self._frame_cache
 
     def _symbols(self, natoms):
+        top = self.input_params.get("top_file")
+        if not top:
+            # rebuilt per frame: frames may have varying atom counts
+            return ["C"] * natoms
         if not hasattr(self, "_symbol_cache"):
-            top = self.input_params.get("top_file")
-            if top:
-                names, _, _, _ = _parse_topology(top)
-                self._symbol_cache = [_element_from_name(n) for n in names]
-            else:
-                self._symbol_cache = ["C"] * natoms
+            names, _, _, _ = _parse_topology(top)
+            self._symbol_cache = [_element_from_name(n) for n in names]
         return self._symbol_cache
 
     def __len__(self):

@@ -177,6 +177,10 @@ _REMAT_POLICIES = {
 def _maybe_remat(cfg, step):
     if not cfg.remat:
         return step
+    if cfg.remat_policy not in _REMAT_POLICIES:
+        raise ValueError(
+            f"remat_policy={cfg.remat_policy!r}; expected one of "
+            f"{sorted(k for k in _REMAT_POLICIES if k)} or None")
     name = _REMAT_POLICIES[cfg.remat_policy]
     policy = getattr(jax.checkpoint_policies, name) if name else None
     return jax.checkpoint(step, policy=policy)

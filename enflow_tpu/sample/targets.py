@@ -67,11 +67,13 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
             diff = x[:, None, :] - x[None, :, :]
             d2 = (diff * diff).sum(-1)
             iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-            # exclude bitwise-coincident pairs like the NLL does
-            # (flow/loss.py d2 != 0 guard): with traced softening this
-            # branch runs even when the anneal reaches s == 0, where
-            # r_sq = 0 would give inf - inf = NaN
-            valid = iu & (d2 > 0.0)
+            # exclude bitwise-coincident pairs ONLY when unsoftened (the
+            # NLL's d2 != 0 guard, flow/loss.py): with traced softening
+            # this branch runs even when an anneal reaches s == 0, where
+            # r_sq = 0 would give inf - inf = NaN. With s > 0 a coincident
+            # pair must keep its (large, finite) softened repulsion —
+            # dropping it would hand collapsed configurations energy 0.
+            valid = iu & ((d2 > 0.0) | (jnp.asarray(softening) > 0.0))
             r_sq = jnp.where(valid, d2, 1.0) + softening
             r6 = r_sq * r_sq * r_sq
             e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)

@@ -147,6 +147,7 @@ class Main:
             self.lj_kBT = hp["lj_kBT"]
             self.softening = hp["softening"]
             self.dequantizer = hp.get("dequantizer", "argmax")
+            self.dequant_scale = float(hp.get("dequant_scale", 1.0))
         elif self.mode == "gen":
             raise ValueError(
                 f"generate mode requires an existing checkpoint at "
@@ -162,6 +163,7 @@ class Main:
             self.lj_kBT = cv.kelvin_to_lj(float(loss_sec.get("temp", 300.0)))
             self.softening = float(loss_sec.get("softening", 0.0))
             self.dequantizer = str(dyn.get("dequantizer", "argmax")).lower()
+            self.dequant_scale = float(dyn.get("dequant_scale", 1.0))
 
         if self.mode == "gen":
             if checkpoint_hparams is None:
@@ -295,7 +297,7 @@ class Main:
             remat=bool(dyn.get("remat", True)),
             remat_policy=dyn.get("remat_policy"),
             scan_unroll=int(dyn.get("scan_unroll", 1)),
-            dequant_scale=float(dyn.get("dequant_scale", 1.0)),
+            dequant_scale=self.dequant_scale,
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)
@@ -463,6 +465,10 @@ class Main:
             "lj_kBT": float(self.lj_kBT),
             "integrator": self.integrator,
             "dequantizer": self.dequantizer,
+            # static config, not a params leaf (nn/floor.py) — must ride in
+            # hparams or generate/sample would rebuild with a different
+            # dequantization scale than the trained model
+            "dequant_scale": float(self.flow_cfg.dequant_scale),
             "n_iter": int(self.n_iter),
             "dt": float(self.flow_cfg.dt),
         }

@@ -134,12 +134,6 @@ def main():
     def log_p(x):
         return target.log_prob(x["pos"]) + gauss(to_system(x))
 
-    ks = jax.random.split(jax.random.PRNGKey(4), 4)
-    z = {"h": jax.random.normal(ks[0], (SMC_P, N_ATOMS, NODE_NF), DTYPE),
-         "g": jax.random.normal(ks[1], (SMC_P, N_ATOMS, NODE_NF), DTYPE),
-         "pos": jax.random.normal(ks[2], (SMC_P, N_ATOMS, 3), DTYPE),
-         "vel": jax.random.normal(ks[3], (SMC_P, N_ATOMS, 3), DTYPE)}
-
     def rev_one(zz):
         s, _ = reverse_core(params, cfg, to_system(zz))
         return {"h": s.h[0], "g": s.g[0], "pos": s.pos[0], "vel": s.vel[0]}

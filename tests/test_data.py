@@ -140,6 +140,17 @@ def test_dataloader_sharding_uneven_lockstep():
     assert seen == all_ids
 
 
+def test_dataloader_sharding_fewer_samples_than_shards():
+    """Modular wrap-around padding must cover n < num_shards too: every
+    shard gets exactly one (repeated) sample instead of some shards
+    getting zero and desyncing lockstep training."""
+    d = toy(n_mols=2, n_atoms=4)
+    loaders = [DataLoader(d, batch_size=1, shard=(5, r), dtype=jnp.float64)
+               for r in range(5)]
+    assert [len(dl) for dl in loaders] == [1] * 5
+    assert [sum(1 for _ in dl) for dl in loaders] == [1] * 5
+
+
 def test_prefetch_worker_exits_on_abandoned_iteration():
     """Breaking out of a prefetching loader must stop the worker thread —
     otherwise it blocks forever on the full queue, pinning its batches."""

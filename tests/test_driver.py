@@ -187,6 +187,31 @@ def test_flow_knobs_reach_config_from_yaml(tmp_path):
             fc.dequant_scale) == (2, "dots", "floor", 0.5)
 
 
+def test_dequant_scale_rides_in_checkpoint(tmp_path):
+    """The floor scale is static config (nn/floor.py), so it must be
+    embedded in checkpoint hparams — generate/sample rebuild the model from
+    the checkpoint alone and would otherwise silently use scale 1.0."""
+    from enflow_tpu.train.checkpoint import load_hparams
+
+    xyz = str(tmp_path / "mols.xyz")
+    write_xyz_dataset(xyz)
+    cfg = base_config(tmp_path, xyz)
+    cfg["training"]["num_epochs"] = 1
+    cfg["dynamics"].update(dequantizer="floor", dequant_scale=0.5)
+    run_main(tmp_path, cfg)
+    assert load_hparams(cfg["dynamics"]["checkpoint_path"])[
+        "dequant_scale"] == 0.5
+
+    # resume path restores it from the checkpoint even if the YAML omits it
+    del cfg["dynamics"]["dequant_scale"]
+    m = Main()
+    path = str(tmp_path / "resume.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    m.setup(path)
+    assert m.flow_cfg.dequant_scale == 0.5
+
+
 def test_scheduler_decays_lr(tmp_path, capsys):
     xyz = str(tmp_path / "mols.xyz")
     write_xyz_dataset(xyz)

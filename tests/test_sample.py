@@ -271,6 +271,16 @@ def test_lj_cluster_traced_softening_zero_no_nan():
     g = jax.jit(jax.grad(lambda x, s: t.log_prob(x, softening=s)))(x, 0.0)
     assert np.isfinite(np.asarray(g)[2:]).all()  # separated atoms' grads
 
+    # with softening > 0 the coincident pair must KEEP its finite softened
+    # repulsion (4*(1/s^6 - 1/s^3)/kBT): dropping it would hand collapsed
+    # configurations energy 0
+    x_sep = x.at[1].set(jnp.asarray([0.0, 0.0, 1.1]))
+    pair_energy = 4.0 * (0.1 ** -6 - 0.1 ** -3)
+    got = float(lp(x_sep, 0.1)) - float(lp(x, 0.1))
+    # the coincident config also gains softened energy on its OTHER pair
+    # distances; compare against the dominant 1/s^6 term loosely
+    assert got > 0.5 * pair_energy, (got, pair_energy)
+
 
 def test_smc_lj13_smoke():
     """Flow-SMC shape: 13-atom LJ cluster target from a Gaussian proposal."""
