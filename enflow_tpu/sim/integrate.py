@@ -107,6 +107,63 @@ def simulate(key, pos0, vel0, energy_fn: Callable, *, n_steps: int,
     return frames, state
 
 
+class NVEState(NamedTuple):
+    pos: jax.Array    # [N, 3]
+    vel: jax.Array    # [N, 3]
+    force: jax.Array  # [N, 3] (carried so each step costs ONE force eval)
+
+
+def velocity_verlet_step(state: NVEState, force_fn: Callable, dt,
+                         mass=1.0, box=None) -> NVEState:
+    """One NVE velocity-Verlet step (no thermostat).
+
+    Symplectic and time-reversible: total energy oscillates but does not
+    drift — the canonical integrator-correctness oracle (see
+    tests/test_sim.py energy-conservation test). The force at the new
+    positions is carried in the state, so each step evaluates the force
+    once, like the kick-drift-kick form in any production MD engine.
+    """
+    pos, vel, f = state
+    vel = vel + 0.5 * dt * f / mass
+    pos = pos + dt * vel
+    if box is not None:
+        pos = apply_pbc(pos, box)
+    f = force_fn(pos)
+    vel = vel + 0.5 * dt * f / mass
+    return NVEState(pos, vel, f)
+
+
+def simulate_nve(pos0, vel0, energy_fn: Callable, *, n_steps: int,
+                 interval: int, dt, box=None, mass=1.0):
+    """Constant-energy MD; captures ``pe``/``ke``/``te`` per frame.
+
+    Same reporter protocol as :func:`simulate`; returns
+    ``(frames, final_state)``.
+    """
+    force = jax.grad(lambda p: -energy_fn(p))
+    n_frames = n_steps // interval
+
+    def inner(i, st):
+        return velocity_verlet_step(st, force, dt, mass, box)
+
+    def chunk(st, chunk_idx):
+        st = jax.lax.fori_loop(0, interval, inner, st)
+        pe = energy_fn(st.pos)
+        ke = 0.5 * (mass * (st.vel * st.vel)).sum()
+        frame = {
+            "pos": apply_pbc(st.pos, box) if box is not None else st.pos,
+            "vel": st.vel,
+            "pe": pe, "ke": ke, "te": pe + ke,
+            "kBT_inst": instantaneous_temperature(st.vel, mass),
+            "step": (chunk_idx + 1) * interval,
+        }
+        return st, frame
+
+    state = NVEState(pos0, vel0, force(pos0))
+    state, frames = jax.lax.scan(chunk, state, jnp.arange(n_frames))
+    return frames, state
+
+
 def minimize_fire(pos0, energy_fn: Callable, *, n_steps: int = 200,
                   dt_start: float = 0.01, dt_max: float = 0.1,
                   alpha_start: float = 0.1, f_inc: float = 1.1,
