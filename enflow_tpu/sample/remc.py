@@ -58,8 +58,18 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     """Parallel tempering from ``betas[0]`` (hottest) to ``betas[-1] == 1``.
 
     Args:
-      x0: ``[K, M, ...]`` pytree of initial replica states (use
-        :func:`tile_replicas` to copy one chain set across the ladder).
+      x0: ``[K, M, ...]`` pytree of initial replica states. Prefer
+        INDEPENDENT draws per slot over :func:`tile_replicas`: swaps only
+        exchange configurations within a chain column, so tiling one draw
+        across the ladder puts any pathological initial configuration
+        (e.g. a flow sample with near-coincident atoms) in EVERY slot of
+        its column — no swap can then rescue the column and its beta=1
+        slot stays stuck for the whole run. With independent draws a bad
+        config occupies one slot and migrates hotward within a few rounds.
+        Relatedly, a flow-bridged ladder should start at ``betas[0] == 0``
+        (the pure flow pushforward): a beta=0 slot mixes freely under any
+        configuration, so migrated pathologies actually relax instead of
+        parking in a still-tempered hottest slot.
       log_p: target log density of ONE configuration (vmapped internally).
       log_q0: optional bridge density (as in :func:`..sample.smc.smc`);
         ``None`` gives the plain tempered target ``beta * log_p``.

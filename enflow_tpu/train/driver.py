@@ -958,14 +958,24 @@ class Main:
         pushforward (beta=0) to the Boltzmann target (beta=1), and the
         beta=1 slot's draws are unweighted target samples (sample/remc.py).
         """
-        from ..sample.remc import remc, tile_replicas
+        from ..sample.remc import remc
 
         betas = sec.get("betas")
         if betas is not None:
             betas = jnp.asarray([float(b) for b in betas])
         else:
-            betas = jnp.geomspace(float(sec.get("beta_min", 0.05)), 1.0,
-                                  int(sec.get("n_temps", 6)))
+            # flow-bridged ladder: base slot at beta=0 EXACTLY (the pure
+            # flow pushforward) so pathological configurations that migrate
+            # hotward can relax and re-enter — see sample/remc.py docstring.
+            beta_min = float(sec.get("beta_min", 0.0))
+            n_temps = int(sec.get("n_temps", 6))
+            if beta_min <= 0.0:
+                betas = jnp.concatenate([
+                    jnp.zeros((1,)),
+                    jnp.geomspace(float(sec.get("beta_hot", 0.05)), 1.0,
+                                  n_temps - 1)])
+            else:
+                betas = jnp.geomspace(beta_min, 1.0, n_temps)
         K = int(betas.shape[0])
         step_size = sec.get("step_size", 0.02)
         if isinstance(step_size, (list, tuple)):
@@ -978,7 +988,14 @@ class Main:
         @jax.jit
         def run(key):
             kp, ks = jax.random.split(key)
-            x0 = tile_replicas(propose(kp), K)
+            # INDEPENDENT flow draws per ladder slot (not tile_replicas):
+            # swaps act within a chain column, so a tiled pathological draw
+            # would occupy every slot of its column and wedge its beta=1
+            # slot for the whole run (observed on-chip: 141/512 columns
+            # stuck at ~1e8 energies). See sample/remc.py docstring.
+            x0 = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[propose(k) for k in jax.random.split(kp, K)])
             return remc(ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
                         n_rounds=n_rounds,
                         mcmc_steps=int(sec.get("mcmc_steps", 1)),

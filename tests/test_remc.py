@@ -33,6 +33,80 @@ def test_remc_gaussian_moments():
                   & (np.asarray(res.accept) <= 1.0))
 
 
+def test_remc_pathological_config_heals_with_beta0_and_independent_draws():
+    """The failure observed on-chip: a pathological initial configuration
+    (near-coincident atoms, astronomically steep target) TILED into every
+    ladder slot of its chain column can never be rescued — swaps only act
+    within the column and HMC is frozen at every beta > 0. With the config
+    in a single slot and a beta=0 base (pure bridge density, which mixes
+    under any configuration), it migrates hotward, relaxes, and the beta=1
+    slot heals."""
+    from enflow_tpu.sample import targets
+
+    t = targets.lj_cluster(2, kBT=1.0, c_osc=0.5)
+    log_q0 = lambda x: -0.5 * (x ** 2).sum()
+    K, M = 4, 8
+    betas = jnp.asarray([0.0, 0.3, 0.6, 1.0])
+    good = 1.5 * jax.random.normal(jax.random.PRNGKey(7), (M, 2, 3), DTYPE)
+    bad = jnp.asarray([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]], DTYPE)
+
+    def run(x0, betas):
+        return jax.jit(lambda k, x: remc(
+            k, x, log_p=t.log_prob, log_q0=log_q0, betas=betas,
+            n_rounds=40, mcmc_steps=2, step_size=0.05, n_leapfrog=3))(
+                jax.random.PRNGKey(8), x0)
+
+    def u_final(res, chain):
+        # energy of chain `chain` in the beta=1 slot, last 5 rounds
+        s = jnp.asarray(np.asarray(res.samples)[-5:, chain])
+        return float(-jax.vmap(t.log_prob)(s).max())
+
+    x0_tiled = tile_replicas(good.at[0].set(bad), K)
+    # old driver ladder (beta_min 0.05, no zero slot): even the hottest
+    # slot is frozen by the 1e16-scale energy -> stuck forever (measured
+    # 1.6e16 after 40 rounds)
+    assert u_final(run(x0_tiled, jnp.asarray([0.05, 0.3, 0.6, 1.0])),
+                   0) > 1e3
+    # beta=0 base slot: the pure bridge density mixes under ANY
+    # configuration, so the column heals (measured U -0.44)
+    assert u_final(run(x0_tiled, betas), 0) < 10.0
+
+    # independent draws: pathological config only in the beta=1 slot of
+    # chain 0; migrates hotward and heals too
+    x0_indep = jnp.stack([
+        1.5 * jax.random.normal(jax.random.PRNGKey(10 + k), (M, 2, 3), DTYPE)
+        for k in range(K)])
+    x0_indep = x0_indep.at[K - 1, 0].set(bad)
+    assert u_final(run(x0_indep, betas), 0) < 10.0
+
+
+def test_remc_chain_axis_shards_over_mesh():
+    """The chain axis M of the [K, M, ...] replica layout shards over the
+    device mesh: one constraint on x0 and GSPMD partitions every HMC sweep
+    and swap round; moments still exact and the result actually lives on
+    all devices (not silently replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from enflow_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(("chain",))
+    n_dev = int(mesh.devices.size)
+    d, K, M = 3, 3, 32 * n_dev
+    log_p = lambda x: -0.5 * (x**2).sum()
+    x0 = tile_replicas(
+        jax.random.normal(jax.random.PRNGKey(0), (M, d), DTYPE), K)
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(None, "chain")))
+    res = jax.jit(lambda k, x: remc(
+        k, x, log_p=log_p, betas=jnp.array([0.25, 0.5, 1.0]),
+        n_rounds=100, mcmc_steps=1, step_size=jnp.array([1.0, 0.7, 0.5]),
+        n_leapfrog=5))(jax.random.PRNGKey(1), x0)
+    jax.block_until_ready(res.samples)
+    assert len(res.samples.sharding.device_set) == n_dev
+    s = _samples_second_half(res)
+    assert abs(s.mean()) < 0.07
+    assert s.var() == pytest.approx(1.0, rel=0.15)
+
+
 def test_remc_mixes_bimodal_where_hmc_cannot():
     """High-barrier 1D bimodal target: all chains start in the +2 mode.
     A single-slot run (plain HMC, no ladder) stays stuck; the full ladder
