@@ -326,12 +326,21 @@ class Main:
             # samples can hit extreme target energies)
             default_clip = 10.0 if self.objective == "flow_vi" else None
             clip = tr.get("grad_clip", default_clip)
+            steps = []
+            if self.objective == "flow_vi":
+                # one flow sample with bitwise-(near-)coincident atoms gives
+                # an inf target energy whose log1p-cap VJP is NaN — one such
+                # draw anywhere in the batch would NaN the whole update and
+                # destroy the parameters (observed on-chip at the end of a
+                # softening anneal: epoch ~51 of vi_lj13 went NaN and the
+                # NaN params were checkpointed). zero_nans turns that step
+                # into a no-op; training continues on the next draw.
+                steps.append(optax.zero_nans())
             if clip:
-                self.optimizer = optax.chain(
-                    optax.clip_by_global_norm(float(clip)),
-                    optax.adam(schedule))
-            else:
-                self.optimizer = optax.adam(schedule)
+                steps.append(optax.clip_by_global_norm(float(clip)))
+            steps.append(optax.adam(schedule))
+            self.optimizer = optax.chain(*steps) if len(steps) > 1 else \
+                steps[0]
             self.opt_state = self.optimizer.init(self.params)
             self.log_interval = int(tr["log_interval"])
             self.num_epochs = int(tr["num_epochs"])

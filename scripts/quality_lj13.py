@@ -88,7 +88,10 @@ def main():
 
     # ---- 1. flow-VI training with annealed softening/e_cap ---------------
     import optax
-    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    # zero_nans: a coincident-atom flow draw at softening ~0 can NaN one
+    # batch gradient; skip that step instead of destroying the params
+    opt = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(5.0),
+                      optax.adam(1e-3))
     opt_state = opt.init(params)
 
     def sys_target(soft, cap):

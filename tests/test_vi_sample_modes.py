@@ -165,6 +165,29 @@ def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
     assert len(lines) == 5
 
 
+def test_flow_vi_optimizer_survives_nan_grads(tmp_path):
+    """A single poisoned batch gradient (inf target energy -> NaN VJP)
+    must be a no-op step, not parameter destruction: the VI optimizer
+    chain starts with zero_nans."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cfg = vi_config(tmp_path, n_epochs=1)
+    path = str(tmp_path / "nan.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    m = Main()
+    m.setup(path)
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan),
+                                   m.params)
+    updates, _ = m.optimizer.update(grads, m.opt_state, m.params)
+    new = optax.apply_updates(m.params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new),
+                    jax.tree_util.tree_leaves(m.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flow_vi_fused_epoch_matches_step_loop(tmp_path, capsys):
     """training.fused_epoch (one lax.scan program per epoch, default) draws
     the same fold_in key sequence as the per-step dispatch loop — final
