@@ -915,6 +915,20 @@ class Main:
             # result pytree is small); writes below stay rank-0-only
             from jax.experimental import multihost_utils
             res = multihost_utils.process_allgather(res, tiled=True)
+        if res.beta_history is not None:
+            # adaptive tempering chooses increments; if the n_temps budget
+            # runs out before beta reaches 1, the particles/weights target
+            # an INTERMEDIATE distribution and log_Z is the normalizer of a
+            # partial bridge — silently reporting it is worse than failing
+            # (observed: a weak flow at n_temps=24 stopped at beta<1 with a
+            # deceptively high final ESS and log_Z 4 nats off)
+            beta_last = float(np.asarray(res.beta_history)[-1])
+            if beta_last < 1.0 - 1e-5:
+                raise RuntimeError(
+                    f"adaptive anneal incomplete: reached beta={beta_last:.4f}"
+                    f" < 1 within n_temps={sec.get('n_temps', 10)} stages —"
+                    f" raise sampling.n_temps (or train the flow further/"
+                    f"lower target_ess_frac)")
         ess = float(ess_from_log_weights(res.log_weights))
         out_path = sec.get("output", "samples.npz")
 
@@ -934,6 +948,8 @@ class Main:
                      log_weights=np.asarray(res.log_weights),
                      log_Z=np.asarray(res.log_Z),
                      ess_history=np.asarray(res.ess_history),
+                     **({"beta_history": np.asarray(res.beta_history)}
+                        if res.beta_history is not None else {}),
                      **extra_out)
             print(f"sampled {P} particles -> {out_path}  "
                   f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
@@ -1013,6 +1029,21 @@ class Main:
 
         res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.samples)
+
+        mbar_out = {}
+        if sec.get("mbar"):
+            # MBAR over the final ladder states: with the exact-ldj flow
+            # pushforward as the beta=0 state (normalized by construction),
+            # -(f[-1] - f[0]) estimates log Z_p — the SAME quantity SMC's
+            # log_Z estimates, from a completely independent algorithm
+            # (cross-validation of the two).
+            from ..sample.mbar import mbar, mbar_from_remc
+            u_kn, counts = mbar_from_remc(res, log_p, log_q0)
+            mres = jax.jit(mbar)(u_kn, counts)
+            mbar_out = {"mbar_f": np.asarray(mres.f),
+                        "mbar_log_Z": -float(mres.f[-1] - mres.f[0]),
+                        "mbar_converged": float(mres.converged)}
+
         if self.num_processes > 1:
             from jax.experimental import multihost_utils
             res = multihost_utils.process_allgather(res, tiled=True)
@@ -1027,13 +1058,16 @@ class Main:
                      swap_accept=np.asarray(res.swap_accept),
                      accept=np.asarray(res.accept),
                      betas=np.asarray(res.betas),
+                     **mbar_out,
                      **extra_out)
             sa = np.asarray(res.swap_accept)
+            mb = (f"  mbar_log_Z={mbar_out['mbar_log_Z']:.3f}"
+                  if mbar_out else "")
             print(f"remc: {n_rounds} rounds x {M} chains x {K} temps -> "
                   f"{out_path}  kept {keep['pos'].shape[0]} rounds  "
                   f"swap_accept=[{sa.min():.2f},{sa.max():.2f}]  "
-                  f"hmc_accept={float(np.asarray(res.accept)[-1]):.2f}",
-                  flush=True)
+                  f"hmc_accept={float(np.asarray(res.accept)[-1]):.2f}"
+                  f"{mb}", flush=True)
         return res
 
     # ------------------------------------------------------------------

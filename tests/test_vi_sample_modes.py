@@ -278,6 +278,7 @@ def test_sample_mode_remc(tmp_path, capsys):
             "mcmc_steps": 1,
             "step_size": [0.3, 0.2, 0.1],
             "n_leapfrog": 3,
+            "mbar": True,
             "output": str(tmp_path / "remc.npz"),
             "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
                        "kBT": 1.0},
@@ -286,12 +287,47 @@ def test_sample_mode_remc(tmp_path, capsys):
     run_main(tmp_path, sample_cfg, "remc.yaml")
     out = capsys.readouterr().out
     assert "swap_accept=" in out
+    assert "mbar_log_Z=" in out
     data = np.load(tmp_path / "remc.npz")
     assert data["pos"].shape == (10, 16, 5, 3)     # kept rounds x M x N x 3
     assert np.isfinite(data["pos"]).all()
     assert data["swap_accept"].shape == (2,)
     assert data["betas"].shape == (3,)
     assert np.all(data["swap_accept"] >= 0.0)
+    assert data["mbar_f"].shape == (3,)
+    assert np.isfinite(float(data["mbar_log_Z"]))
+    assert float(data["mbar_converged"]) < 1e-4
+
+
+def test_sample_mode_incomplete_adaptive_anneal_raises(tmp_path, capsys):
+    """An adaptive anneal that exhausts n_temps before beta=1 must fail
+    loudly: its particles target an intermediate distribution and log_Z is
+    a partial-bridge normalizer (observed on-chip: 4 nats off with a
+    deceptively high final ESS)."""
+    import pytest
+
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    capsys.readouterr()
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 7,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
+        "sampling": {
+            "algo": "smc", "n_particles": 64,
+            "n_temps": 2,               # impossible budget
+            "adaptive": True, "target_ess_frac": 0.95,
+            "mcmc_steps": 1, "step_size": 0.1, "n_leapfrog": 2,
+            "output": str(tmp_path / "bad.npz"),
+            # narrow target far from the 1-epoch flow: big KL, tiny steps
+            "target": {"type": "gaussian", "n_atoms": 5, "std": 0.05,
+                       "kBT": 1.0},
+        },
+    }
+    with pytest.raises(RuntimeError, match="anneal incomplete"):
+        run_main(tmp_path, sample_cfg, "bad.yaml")
 
 
 def test_sample_mode_untrained_flow(tmp_path, capsys):
