@@ -44,8 +44,10 @@ def radial_distribution(pos, box, r_max, n_bins: int = 100, mask=None):
     def frame_hist(p):
         d = p[:, None, :] - p[None, :, :]
         d = d - jnp.round(d / box) * box
-        r = jnp.sqrt(jnp.where(pair_mask, (d * d).sum(-1), -1.0))
-        # invalid pairs land at r = -1 < 0 -> outside every bin
+        # invalid pairs get r = inf, deterministically past the last edge
+        # (a negative sentinel would go through sqrt(-1) = NaN, which both
+        # trips jax_debug_nans and relies on searchsorted's NaN ordering)
+        r = jnp.sqrt(jnp.where(pair_mask, (d * d).sum(-1), jnp.inf))
         return jnp.histogram(r, bins=edges)[0]
 
     hist = jax.vmap(frame_hist)(pos).sum(axis=0).astype(pos.dtype)

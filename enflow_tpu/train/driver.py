@@ -328,14 +328,22 @@ class Main:
             clip = tr.get("grad_clip", default_clip)
             steps = []
             if self.objective == "flow_vi":
-                # one flow sample with bitwise-(near-)coincident atoms gives
-                # an inf target energy whose log1p-cap VJP is NaN — one such
-                # draw anywhere in the batch would NaN the whole update and
+                # one flow sample with (near-)coincident atoms gives an inf
+                # target energy whose log1p-cap VJP is NaN — one such draw
+                # anywhere in the batch would NaN the whole update and
                 # destroy the parameters (observed on-chip at the end of a
                 # softening anneal: epoch ~51 of vi_lj13 went NaN and the
-                # NaN params were checkpointed). zero_nans turns that step
-                # into a no-op; training continues on the next draw.
-                steps.append(optax.zero_nans())
+                # NaN params were checkpointed). Zeroing nonfinite grads
+                # skips the poisoned contribution (Adam still applies its
+                # decayed momentum that step). inf is zeroed too: an inf
+                # that reaches clip_by_global_norm scales to NaN and would
+                # poison the Adam moments forever. Stateless on purpose —
+                # the opt_state pytree stays identical to chain(clip, adam),
+                # so pre-existing VI checkpoints keep resuming.
+                steps.append(optax.stateless(
+                    lambda updates, params=None: jax.tree_util.tree_map(
+                        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0,
+                                                 neginf=0.0), updates)))
             if clip:
                 steps.append(optax.clip_by_global_norm(float(clip)))
             steps.append(optax.adam(schedule))
@@ -370,7 +378,19 @@ class Main:
                 elif self.is_main:
                     eprint("checkpoint has no optimizer state (imported?); "
                            "starting with a fresh optimizer", flush=True)
-                tree, _ = load_checkpoint(self.checkpoint_path, template)
+                try:
+                    tree, _ = load_checkpoint(self.checkpoint_path, template)
+                except ValueError as e:
+                    if "opt_state" not in str(e):
+                        raise
+                    # optimizer chain changed between versions (leaf-count
+                    # mismatch): model params are what matter — resume them
+                    # with a fresh optimizer rather than refusing to run
+                    if self.is_main:
+                        eprint(f"optimizer state incompatible ({e}); "
+                               "starting with a fresh optimizer", flush=True)
+                    template.pop("opt_state")
+                    tree, _ = load_checkpoint(self.checkpoint_path, template)
                 self.params = tree["params"]
                 self.opt_state = tree.get("opt_state", self.opt_state)
             else:
@@ -627,8 +647,15 @@ class Main:
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            # observability for the nonfinite-gradient guard in the
+            # optimizer chain: count poisoned steps so a run degenerating
+            # into momentum-only updates is visible in the epoch log
+            finite = jnp.all(jnp.stack(
+                [jnp.all(jnp.isfinite(g))
+                 for g in jax.tree_util.tree_leaves(grads)]))
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
+            return (optax.apply_updates(params, updates), opt_state2, loss,
+                    1.0 - finite.astype(loss.dtype))
 
         vi_step = jax.jit(one_step)
 
@@ -645,15 +672,15 @@ class Main:
         def vi_epoch(params, opt_state, epoch_key, soft, cap):
             def body(carry, i):
                 params, opt_state = carry
-                params, opt_state, loss = one_step(
+                params, opt_state, loss, bad = one_step(
                     params, opt_state, jax.random.fold_in(epoch_key, i),
                     soft, cap)
-                return (params, opt_state), loss
+                return (params, opt_state), (loss, bad)
 
-            (params, opt_state), losses = jax.lax.scan(
+            (params, opt_state), (losses, bads) = jax.lax.scan(
                 body, (params, opt_state),
                 jnp.arange(steps_per_epoch, dtype=jnp.int32))
-            return params, opt_state, losses
+            return params, opt_state, losses, bads
 
         fused_epoch = bool(tr.get("fused_epoch", False))
 
@@ -675,23 +702,33 @@ class Main:
             soft_e = jnp.asarray(soft_e, self.dtype)
             cap_e = jnp.asarray(cap_e, self.dtype)
             if fused_epoch:
-                params, opt_state, losses = vi_epoch(params, opt_state,
-                                                     epoch_key, soft_e, cap_e)
+                params, opt_state, losses, bads = vi_epoch(
+                    params, opt_state, epoch_key, soft_e, cap_e)
                 losses = jax.device_get(losses)
+                nan_steps = float(jax.device_get(bads).sum())
             else:
+                bads = []
                 for i in range(steps_per_epoch):
-                    params, opt_state, loss = vi_step(params, opt_state,
-                                                      jax.random.fold_in(
-                                                          epoch_key, i),
-                                                      soft_e, cap_e)
+                    params, opt_state, loss, bad = vi_step(
+                        params, opt_state,
+                        jax.random.fold_in(epoch_key, i), soft_e, cap_e)
                     losses.append(loss)
+                    bads.append(bad)
                 losses = jax.device_get(jnp.stack(losses))
+                nan_steps = float(jax.device_get(jnp.stack(bads)).sum())
+            if nan_steps and self.is_main:
+                eprint(f"epoch {epoch}: {int(nan_steps)}/{steps_per_epoch} "
+                       f"steps had nonfinite gradients (skipped by the "
+                       f"optimizer guard)", flush=True)
             self.params, self.opt_state = params, opt_state
             if self.is_main and self.checkpoint_path:
                 jax.block_until_ready(params)
                 self._save(epoch)
             end_time = time.time()
-            epoch_loss = float(losses.mean())
+            # mean over the finite losses: a guarded (skipped) step's NaN
+            # loss should not mask the epoch statistic of the real steps
+            epoch_loss = float(np.nanmean(
+                np.where(np.isfinite(losses), losses, np.nan)))
             if self.is_main and epoch % self.log_interval == 0:
                 print('%.5i \t    %.2f \t    %.2f \t    %.2e'
                       % (epoch, epoch_loss, end_time - start_time,
@@ -867,12 +904,12 @@ class Main:
             spec = NamedSharding(self.mesh, PartitionSpec("data"))
             constrain = lambda a: jax.lax.with_sharding_constraint(a, spec)
 
-        def propose(key):
+        def propose(key, n=P):
             ks = jax.random.split(key, 4)
-            z = {"h": jax.random.normal(ks[0], (P, n_atoms, node_nf), dtype),
-                 "g": jax.random.normal(ks[1], (P, n_atoms, node_nf), dtype),
-                 "pos": jax.random.normal(ks[2], (P, n_atoms, 3), dtype),
-                 "vel": jax.random.normal(ks[3], (P, n_atoms, 3), dtype)}
+            z = {"h": jax.random.normal(ks[0], (n, n_atoms, node_nf), dtype),
+                 "g": jax.random.normal(ks[1], (n, n_atoms, node_nf), dtype),
+                 "pos": jax.random.normal(ks[2], (n, n_atoms, 3), dtype),
+                 "vel": jax.random.normal(ks[3], (n, n_atoms, 3), dtype)}
             if constrain is not None:
                 z = jax.tree_util.tree_map(constrain, z)
 
@@ -994,6 +1031,9 @@ class Main:
             # hotward can relax and re-enter — see sample/remc.py docstring.
             beta_min = float(sec.get("beta_min", 0.0))
             n_temps = int(sec.get("n_temps", 6))
+            if n_temps < 2:
+                raise ValueError("sampling.n_temps must be >= 2 for remc "
+                                 "(a ladder needs a base and a target slot)")
             if beta_min <= 0.0:
                 betas = jnp.concatenate([
                     jnp.zeros((1,)),
@@ -1001,6 +1041,10 @@ class Main:
                                   n_temps - 1)])
             else:
                 betas = jnp.geomspace(beta_min, 1.0, n_temps)
+            # geomspace(a, 1, 1) returns [a]: pin the target slot to
+            # beta=1 exactly so small ladders can't silently return
+            # near-flow samples labeled as target draws
+            betas = betas.at[-1].set(1.0)
         K = int(betas.shape[0])
         step_size = sec.get("step_size", 0.02)
         if isinstance(step_size, (list, tuple)):
@@ -1017,10 +1061,12 @@ class Main:
             # swaps act within a chain column, so a tiled pathological draw
             # would occupy every slot of its column and wedge its beta=1
             # slot for the whole run (observed on-chip: 141/512 columns
-            # stuck at ~1e8 energies). See sample/remc.py docstring.
+            # stuck at ~1e8 energies). One K*M batched draw, reshaped —
+            # K separate propose() calls would trace K copies of the
+            # reverse-flow graph into the program (K x compile time).
             x0 = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[propose(k) for k in jax.random.split(kp, K)])
+                lambda a: a.reshape((K, M) + a.shape[1:]),
+                propose(kp, K * M))
             return remc(ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
                         n_rounds=n_rounds,
                         mcmc_steps=int(sec.get("mcmc_steps", 1)),
@@ -1039,6 +1085,25 @@ class Main:
             # (cross-validation of the two).
             from ..sample.mbar import mbar, mbar_from_remc
             u_kn, counts = mbar_from_remc(res, log_p, log_q0)
+            # pool thinned post-discard beta=1 rounds too: x_final alone is
+            # K*M samples while the run already holds (R-discard)*M
+            # equilibrated target draws (thinned to limit flow evals and
+            # round-to-round correlation)
+            n_pool = int(sec.get("mbar_pool_rounds", 5))
+            R = np.asarray(res.samples["pos"]).shape[0]
+            if n_pool > 0 and R > discard:
+                idx = np.unique(np.linspace(discard, R - 1, n_pool,
+                                            dtype=int))
+                pooled = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(np.asarray(a)[idx]).reshape(
+                        (-1,) + a.shape[2:]), res.samples)
+                lp2 = jax.jit(jax.vmap(log_p))(pooled)
+                lq2 = jax.jit(jax.vmap(log_q0))(pooled)
+                b = jnp.asarray(res.betas)
+                u2 = -((1.0 - b)[:, None] * lq2[None, :]
+                       + b[:, None] * lp2[None, :])
+                u_kn = jnp.concatenate([u_kn, u2], axis=1)
+                counts = counts.at[-1].add(lp2.shape[0])
             mres = jax.jit(mbar)(u_kn, counts)
             mbar_out = {"mbar_f": np.asarray(mres.f),
                         "mbar_log_Z": -float(mres.f[-1] - mres.f[0]),

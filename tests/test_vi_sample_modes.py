@@ -4,6 +4,7 @@ sampling (north-star capabilities; no reference equivalents)."""
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from enflow_tpu.train.driver import Main
@@ -165,10 +166,12 @@ def test_flow_vi_trains_and_checkpoints(tmp_path, capsys):
     assert len(lines) == 5
 
 
-def test_flow_vi_optimizer_survives_nan_grads(tmp_path):
-    """A single poisoned batch gradient (inf target energy -> NaN VJP)
-    must be a no-op step, not parameter destruction: the VI optimizer
-    chain starts with zero_nans."""
+@pytest.mark.parametrize("poison", [np.nan, np.inf, -np.inf])
+def test_flow_vi_optimizer_survives_nonfinite_grads(tmp_path, poison):
+    """A poisoned batch gradient (NaN from an inf-energy log1p-cap VJP, or
+    inf from a f32 overflow) must not destroy the parameters. inf matters
+    separately: unsanitized, clip_by_global_norm turns an inf gradient into
+    NaN updates that poison the Adam moments forever."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -179,11 +182,40 @@ def test_flow_vi_optimizer_survives_nan_grads(tmp_path):
         yaml.safe_dump(cfg, f)
     m = Main()
     m.setup(path)
-    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan),
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, poison),
                                    m.params)
     updates, _ = m.optimizer.update(grads, m.opt_state, m.params)
     new = optax.apply_updates(m.params, updates)
     for a, b in zip(jax.tree_util.tree_leaves(new),
+                    jax.tree_util.tree_leaves(m.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flow_vi_resume_with_incompatible_opt_state(tmp_path, capsys):
+    """A checkpoint whose optimizer-state tree doesn't match the current
+    chain (e.g. saved by an older version) resumes with restored params
+    and a fresh optimizer instead of refusing to run."""
+    import jax
+    import optax
+
+    from enflow_tpu.train.checkpoint import load_hparams, save_checkpoint
+
+    cfg = vi_config(tmp_path, n_epochs=1)
+    m = run_main(tmp_path, cfg, "vi.yaml")
+    capsys.readouterr()
+    # rewrite the checkpoint with an optimizer state from a DIFFERENT chain
+    hp = load_hparams(cfg["dynamics"]["checkpoint_path"])
+    wrong_opt = optax.sgd(1e-3).init(m.params)
+    save_checkpoint(cfg["dynamics"]["checkpoint_path"],
+                    {"params": m.params, "opt_state": wrong_opt}, hp)
+    m2 = Main()
+    path = str(tmp_path / "vi2.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    m2.setup(path)
+    err = capsys.readouterr().err
+    assert "fresh optimizer" in err
+    for a, b in zip(jax.tree_util.tree_leaves(m2.params),
                     jax.tree_util.tree_leaves(m.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -297,6 +329,33 @@ def test_sample_mode_remc(tmp_path, capsys):
     assert data["mbar_f"].shape == (3,)
     assert np.isfinite(float(data["mbar_log_Z"]))
     assert float(data["mbar_converged"]) < 1e-4
+
+
+def test_remc_minimal_ladder_reaches_beta1(tmp_path, capsys):
+    """n_temps=2 must give the ladder [0, 1] — geomspace(a, 1, 1) returns
+    [a], which would silently label near-flow samples as target draws."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    capsys.readouterr()
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 8,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
+        "sampling": {
+            "algo": "remc", "n_particles": 8, "n_temps": 2,
+            "n_rounds": 4, "mcmc_steps": 1, "step_size": 0.1,
+            "n_leapfrog": 2,
+            "output": str(tmp_path / "remc2.npz"),
+            "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
+                       "kBT": 1.0},
+        },
+    }
+    run_main(tmp_path, sample_cfg, "remc2.yaml")
+    capsys.readouterr()
+    data = np.load(tmp_path / "remc2.npz")
+    np.testing.assert_array_equal(np.asarray(data["betas"]), [0.0, 1.0])
 
 
 def test_sample_mode_incomplete_adaptive_anneal_raises(tmp_path, capsys):
