@@ -145,3 +145,18 @@ def cell_overflow(pos, box, mask, r_cut, cells_per_dim: int,
         return (counts > cell_capacity).any()
 
     return jax.vmap(one)(pos, box, mask).any()
+
+
+def max_cell_occupancy(pos, box, mask, cells_per_dim: int):
+    """Scalar int: the most real atoms any single cell holds in the batch.
+
+    Loud counterpart of :func:`cell_overflow` for the driver's one-time
+    dataset capacity validation (train/driver.py ``_validate_capacities``)."""
+    def one(p, b, msk):
+        cid, _ = _cell_ids(p, b, cells_per_dim)
+        n_cells = cells_per_dim ** 3
+        counts = jnp.zeros((n_cells,), jnp.int32).at[cid].add(
+            msk.astype(jnp.int32))
+        return counts.max()
+
+    return jax.vmap(one)(pos, box, mask).max()

@@ -118,6 +118,18 @@ def neighbor_overflow(pos, box, mask, r_cut, capacity: int):
     return (valid.sum(axis=-1) > capacity).any()
 
 
+def max_neighbor_count(pos, box, mask, r_cut):
+    """Scalar int: the largest per-atom in-cutoff neighbor count in the batch.
+
+    The loud production counterpart of :func:`neighbor_overflow`: the driver
+    runs this once over every dataset batch at setup (train/driver.py
+    ``_validate_capacities``) so a too-small ``nbr_capacity`` raises with the
+    needed value instead of silently dropping edges.
+    """
+    valid, _ = jax.vmap(_valid_pairs)(pos, box, mask, r_cut)
+    return valid.sum(axis=-1).max()
+
+
 def all_pairs(mask) -> Neighbors:
     """Static all-pairs adjacency: every real atom neighbors every other.
 

@@ -302,6 +302,14 @@ class Main:
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)
 
+        # one LOUD capacity check per dataset (not per step, not debug-only):
+        # the fixed-capacity neighbor/cell formats silently truncate beyond
+        # capacity, and 'auto' sizes from the FIRST sample only — a later
+        # frame exceeding it would silently drop edges. Opt out with
+        # `dynamics.validate_capacity: false`.
+        if dyn.get("validate_capacity", True):
+            self._validate_capacities()
+
         # optimizer (train mode)
         if self.mode == "train":
             tr = args["training"]
@@ -436,6 +444,77 @@ class Main:
                 eprint(f"cell list: cells_per_dim={m}, cell_capacity={cap}",
                        flush=True)
         return {"cells_per_dim": int(m), "cell_capacity": int(cap)}
+
+    def _validate_capacities(self):
+        """One post-setup overflow check per dataset.
+
+        Scans EVERY dataset sample once (host-side, row-chunked) and
+        raises with the needed value when the configured ``nbr_capacity``
+        (top-k / cell neighbor slots) or ``cell_capacity`` (atoms per cell)
+        would truncate edges. Replaces the silent-in-production behavior
+        where only ``debug.nan_checks`` exercised the overflow diagnostics
+        (``data/neighbors.neighbor_overflow``, ``data/celllist.cell_overflow``)
+        and 'auto' sizing trusted the first sample alone.
+
+        Validates initial configurations only — positions move during flow
+        integration, so the runtime debug checks remain for mid-flow
+        overflow. Every process scans the full dataset (no shard) so an
+        error raises collectively instead of desyncing lockstep training.
+        """
+        cfg = self.flow_cfg
+        if self.dataset is None or not len(self.dataset):
+            return
+        n_max = self.train_loader.n_max if self.train_loader else None
+        check_nbr = (cfg.nbr_mode in ("dense", "topk", "cell")
+                     and cfg.nbr_capacity is not None
+                     and (n_max is None or cfg.nbr_capacity < n_max))
+        check_cell = cfg.nbr_mode == "cell"
+        if not (check_nbr or check_cell):
+            return
+
+        # host-side numpy (row-chunked: O(chunk*N) memory) — a jitted device
+        # pass would add a TPU remote compile (~minutes) to every startup
+        max_nbr, max_occ = 0, 0
+        for i in range(len(self.dataset)):
+            s = self.dataset[i]
+            pos = np.asarray(s.pos, np.float64)
+            box = np.asarray(s.box, np.float64)
+            if check_nbr:
+                r2 = float(s.r_cut) ** 2
+                n = pos.shape[0]
+                for lo in range(0, n, 2048):
+                    diff = pos[lo:lo + 2048, None, :] - pos[None, :, :]
+                    diff -= np.round(diff / box) * box
+                    d2 = (diff * diff).sum(-1)
+                    within = (d2 < r2).sum(axis=1) - 1   # exclude self
+                    max_nbr = max(max_nbr, int(within.max()))
+            if check_cell:
+                m = int(cfg.cells_per_dim)
+                frac = pos / box + 0.5
+                frac -= np.floor(frac)
+                ijk = np.clip((frac * m).astype(int), 0, m - 1)
+                cid = (ijk[:, 0] * m + ijk[:, 1]) * m + ijk[:, 2]
+                max_occ = max(max_occ, int(np.bincount(cid).max()))
+        errs = []
+        if check_nbr and max_nbr > cfg.nbr_capacity:
+            errs.append(
+                f"nbr_capacity={cfg.nbr_capacity} is too small: an atom in "
+                f"this dataset has {max_nbr} in-cutoff neighbors — edges "
+                f"would be silently dropped. Set dynamics.nbr_capacity >= "
+                f"{max_nbr} (plus headroom for mid-flow motion)")
+        if check_cell and max_occ > cfg.cell_capacity:
+            errs.append(
+                f"cell_capacity={cfg.cell_capacity} is too small: a cell in "
+                f"this dataset holds {max_occ} atoms — candidates would be "
+                f"silently dropped. Set dynamics.cell_capacity >= {max_occ} "
+                f"(plus headroom for mid-flow motion)")
+        if errs:
+            raise ValueError("; ".join(errs) +
+                             " (or set dynamics.validate_capacity: false)")
+        if self.is_main and (check_nbr or check_cell):
+            eprint(f"capacity check: max neighbors {max_nbr}"
+                   + (f", max cell occupancy {max_occ}" if check_cell else "")
+                   + " — within capacity", flush=True)
 
     def _make_train_step(self):
         cfg = self.flow_cfg
@@ -1083,16 +1162,28 @@ class Main:
             # -(f[-1] - f[0]) estimates log Z_p — the SAME quantity SMC's
             # log_Z estimates, from a completely independent algorithm
             # (cross-validation of the two).
+            if self.num_processes > 1:
+                # res is still process-local here; the allgather below
+                # concatenates samples along the ROUNDS axis and x_final
+                # along the TEMPS axis, so neither pre- nor post-gather
+                # arrays feed MBAR's per-state bookkeeping correctly.
+                raise ValueError(
+                    "sampling.mbar is single-process only: run the MBAR "
+                    "analysis on the saved samples npz, or re-run the "
+                    "sampler on one process")
             from ..sample.mbar import mbar, mbar_from_remc
             u_kn, counts = mbar_from_remc(res, log_p, log_q0)
             # pool thinned post-discard beta=1 rounds too: x_final alone is
             # K*M samples while the run already holds (R-discard)*M
             # equilibrated target draws (thinned to limit flow evals and
-            # round-to-round correlation)
+            # round-to-round correlation). Pool only rounds [discard, R-2]:
+            # round R-1's beta=1 slot IS x_final's beta=1 slot (identical
+            # configurations), already counted in u_kn by mbar_from_remc —
+            # including it again would double-count those M samples.
             n_pool = int(sec.get("mbar_pool_rounds", 5))
             R = np.asarray(res.samples["pos"]).shape[0]
-            if n_pool > 0 and R > discard:
-                idx = np.unique(np.linspace(discard, R - 1, n_pool,
+            if n_pool > 0 and R - 1 > discard:
+                idx = np.unique(np.linspace(discard, R - 2, n_pool,
                                             dtype=int))
                 pooled = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(np.asarray(a)[idx]).reshape(

@@ -102,7 +102,28 @@ def load_reference_checkpoint(path):
     sd = ckpt["model_state_dict"]
     n_iter = int(ckpt["n_iter"])
     integrator = str(ckpt["integrator"]).lower()
-    num_networks = n_iter + 1 if integrator == "vv" else n_iter
+    # Derive the network count from the state dict itself rather than
+    # inferring it from the integrator: the reference always constructs
+    # n_iter EGCLs (main.py:151) even for VV (whose forward would then
+    # IndexError at train time), so integrator-based inference is
+    # untestable against real files. Count the distinct networks.{k}
+    # prefixes actually present and validate against what OUR integrator
+    # will need at restore time (n_iter for lf, n_iter+1 for vv).
+    net_ids = {int(k.split(".")[1]) for k in sd
+               if k.startswith("networks.")}
+    if not net_ids:
+        raise ValueError(f"{path}: no networks.<k>.* entries in "
+                         "model_state_dict — not a reference flow checkpoint")
+    num_networks = max(net_ids) + 1
+    if net_ids != set(range(num_networks)):
+        raise ValueError(f"{path}: non-contiguous network indices "
+                         f"{sorted(net_ids)} in model_state_dict")
+    expected = n_iter + 1 if integrator == "vv" else n_iter
+    if num_networks != expected:
+        raise ValueError(
+            f"{path}: checkpoint holds {num_networks} EGCL networks but "
+            f"integrator={integrator!r} with n_iter={n_iter} needs "
+            f"{expected}; cannot restore this model faithfully")
     params = convert_state_dict(sd, num_networks)
     hparams = {
         "epoch": int(ckpt.get("epoch", 0)),

@@ -122,6 +122,53 @@ def test_train_checkpoint_resume_generate(tmp_path, capsys):
     del m, m2, m3
 
 
+def write_clustered_xyz(path, n_frames=3, n_atoms=8, seed=0):
+    """All atoms within ~1 Å of each other: every pair is in-cutoff and
+    every atom lands in the same cell — deterministic overflow fodder."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n_frames):
+            f.write(f"{n_atoms}\nc\n")
+            for a in range(n_atoms):
+                sym = ["C", "O", "H", "N"][a % 4]
+                x, y, z = rng.uniform(-0.5, 0.5, 3)
+                f.write(f"{sym} {x:.6f} {y:.6f} {z:.6f}\n")
+
+
+def test_too_small_nbr_capacity_raises(tmp_path):
+    """A fixed-capacity neighbor list that would silently drop edges must
+    raise at setup with the needed capacity (one loud check per dataset,
+    replacing the debug-only neighbor_overflow diagnostic)."""
+    xyz = str(tmp_path / "cluster.xyz")
+    write_clustered_xyz(xyz)
+    cfg = base_config(tmp_path, xyz)
+    cfg["dynamics"]["nbr_capacity"] = 2   # every atom has 7 in-cutoff nbrs
+    with pytest.raises(ValueError, match="nbr_capacity=2.*has 7"):
+        run_main(tmp_path, cfg)
+
+    # exact fit passes, with a confirmation line on stderr
+    cfg["dynamics"]["nbr_capacity"] = 7
+    cfg["training"]["num_epochs"] = 1
+    m = run_main(tmp_path, cfg)
+    assert m.flow_cfg.nbr_capacity == 7
+
+    # explicit opt-out skips the check (documented escape hatch)
+    cfg["dynamics"]["nbr_capacity"] = 2
+    cfg["dynamics"]["validate_capacity"] = False
+    run_main(tmp_path, cfg)
+
+
+def test_too_small_cell_capacity_raises(tmp_path):
+    xyz = str(tmp_path / "cluster.xyz")
+    write_clustered_xyz(xyz)
+    cfg = base_config(tmp_path, xyz)
+    # cells_per_dim=1: one cell holds all 8 atoms, capacity 2 overflows
+    cfg["dynamics"].update(nbr_mode="cell", nbr_capacity=7,
+                           cells_per_dim=1, cell_capacity=2)
+    with pytest.raises(ValueError, match="cell_capacity=2.*holds 8"):
+        run_main(tmp_path, cfg)
+
+
 def test_training_learns(tmp_path):
     """Deterministic check that optimization reduces the NLL: repeated steps
     on one fixed batch with a fixed dequantization key."""

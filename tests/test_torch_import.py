@@ -197,6 +197,35 @@ def test_imported_dequantizer_matches_raw_state_dict(tmp_path):
         assert float(log_q[b]) == pytest.approx(float(lq), abs=1e-10)
 
 
+def test_vv_checkpoint_with_wrong_network_count_errors(tmp_path):
+    """The network count is derived from the state dict, not the integrator:
+    a 'vv' checkpoint carrying only n_iter networks (what the reference's
+    main.py:151 would actually save — its VV path IndexErrors at train time)
+    must raise a clear mismatch error instead of KeyErroring mid-convert."""
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "vv.cpt")
+    torch.save({
+        "epoch": 0,
+        "model_state_dict": make_reference_state_dict(rng),  # N_ITER networks
+        "node_nf": NF, "hidden_nf": HIDDEN, "softening": 0.1,
+        "lj_kBT": 0.83, "integrator": "vv", "n_iter": N_ITER, "dt": 0.05,
+    }, path)
+    with pytest.raises(ValueError, match="needs 4"):
+        load_reference_checkpoint(path)
+
+
+def test_non_flow_checkpoint_errors(tmp_path):
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "junk.cpt")
+    torch.save({
+        "epoch": 0, "model_state_dict": {"foo.weight": torch.zeros(2, 2)},
+        "node_nf": NF, "hidden_nf": HIDDEN, "softening": 0.1,
+        "lj_kBT": 0.83, "integrator": "lf", "n_iter": N_ITER, "dt": 0.05,
+    }, path)
+    with pytest.raises(ValueError, match="no networks"):
+        load_reference_checkpoint(path)
+
+
 def test_import_roundtrips_through_driver_checkpoint(tmp_path):
     """The written .npz restores positionally against an init_flow template
     (exactly what the driver does) and carries no opt_state tree."""
