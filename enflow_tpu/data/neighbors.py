@@ -130,6 +130,89 @@ def max_neighbor_count(pos, box, mask, r_cut):
     return valid.sum(axis=-1).max()
 
 
+# 27 periodic-image offsets in {-1, 0, 1}^3 (own cell included).
+_IMAGE_OFFSETS = jnp.array(
+    [[a, b, c] for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)],
+    dtype=jnp.int32)
+
+
+def _neighbors_one_images(pos, box, mask, r_cut, capacity):
+    """Per-molecule (neighbor, image) slots with per-image displacements.
+
+    Emits one slot per in-cutoff *periodic image* of each neighbor — the
+    reference's multi-image edge multiplicity (``data/base.py:122-144``):
+    when ``box < 2*r_cut`` a pair (i, j) can be within cutoff through more
+    than one boundary, and each such image is a distinct edge. Unlike the
+    reference, each slot carries its own image displacement (the reference
+    recomputes one shared displacement per pair with a half-box wrap,
+    ``base.py:17`` — a documented bug) and no ellipse pre-prune is applied
+    (the reference's ``helpers.py:15-29`` prune can drop in-cutoff corner
+    images: at the train.yaml geometry box=17, r_cut=10.2 the corner of the
+    wrapped box lies outside the ellipse). Self-image pairs (i with its own
+    periodic image) are excluded, matching the reference's ``row != col``
+    filter. Coverage is the same 27 images as the reference — complete for
+    ``r_cut <= box``.
+
+    Returns ``(idx [N,K], valid [N,K], diff [N,K,3])``.
+    """
+    n = pos.shape[0]
+    diff0 = pos[:, None, :] - pos[None, :, :]               # [N, N, 3]
+    offs = _IMAGE_OFFSETS.astype(pos.dtype) * box           # [27, 3]
+    d = diff0[None, :, :, :] + offs[:, None, None, :]       # [27, N, N, 3]
+    d2 = (d * d).sum(-1)                                    # [27, N, N]
+    eye = jnp.eye(n, dtype=bool)
+    valid = (mask[None, :, None] & mask[None, None, :]
+             & ~eye[None] & (d2 < r_cut * r_cut))
+    # pack per atom i over the flattened (image, j) axis
+    score = jnp.where(valid, -d2, -jnp.inf)                 # [27, N, N]
+    score = score.transpose(1, 0, 2).reshape(n, 27 * n)     # [N, 27N]
+    top, flat = jax.lax.top_k(score, capacity)              # [N, K]
+    j = (flat % n).astype(jnp.int32)
+    slot_ok = top > -jnp.inf
+    d_rows = d.transpose(1, 0, 2, 3).reshape(n, 27 * n, 3)  # [N, 27N, 3]
+    diff = jnp.take_along_axis(d_rows, flat[..., None], axis=1)
+    return j, slot_ok, jnp.where(slot_ok[..., None], diff, 0.0)
+
+
+def image_neighbor_list(pos, box, mask, r_cut, capacity: int):
+    """Batched multi-image neighbor list (``nbr_mode: images``).
+
+    Static-shape TPU replacement for the reference's 27-image edge builder
+    in its *divergent* regime ``box < 2*r_cut`` where min-image lists keep
+    at most one edge per pair but the reference emits one per in-cutoff
+    image. For ``box >= 2*r_cut`` only the minimum image can be within
+    cutoff, so this reduces exactly to :func:`neighbor_list`'s edge set.
+
+    ``capacity`` counts (neighbor, image) slots per atom. Cost is an
+    ``[27, N, N]`` candidate tensor per molecule — intended for
+    small-to-medium molecules (training batches), not large fluids.
+
+    Returns ``(Neighbors, diff [B, N, K, 3])`` — displacements are per
+    *image* and cannot be recomputed from ``idx`` alone, so this builder
+    returns them directly.
+    """
+    idx, m, diff = jax.vmap(_neighbors_one_images,
+                            in_axes=(0, 0, 0, 0, None))(
+        pos, box, mask, r_cut, capacity)
+    return Neighbors(idx=idx, mask=m), diff
+
+
+def max_image_neighbor_count(pos, box, mask, r_cut):
+    """Scalar int: largest per-atom (neighbor, image) slot count in the
+    batch — the capacity validator for ``nbr_mode: images``."""
+    def one(p, b, msk, rc):
+        n = p.shape[0]
+        diff0 = p[:, None, :] - p[None, :, :]
+        offs = _IMAGE_OFFSETS.astype(p.dtype) * b
+        d2 = ((diff0[None] + offs[:, None, None, :]) ** 2).sum(-1)
+        eye = jnp.eye(n, dtype=bool)
+        valid = (msk[None, :, None] & msk[None, None, :]
+                 & ~eye[None] & (d2 < rc * rc))
+        return valid.sum(axis=(0, 2)).max()
+
+    return jax.vmap(one)(pos, box, mask, r_cut).max()
+
+
 def all_pairs(mask) -> Neighbors:
     """Static all-pairs adjacency: every real atom neighbors every other.
 
@@ -156,8 +239,16 @@ def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
     the distance test entirely (see :func:`all_pairs`); 'cell' bins atoms
     into a grid first — O(N * 27C) instead of O(N^2) distance tests
     (``data/celllist.py``; requires ``capacity``, ``cells_per_dim`` and
-    ``cell_capacity``).
+    ``cell_capacity``); 'images' emits one slot per in-cutoff periodic
+    image (required for correctness when ``box < 2*r_cut`` — see
+    :func:`image_neighbor_list`; requires ``capacity``).
     """
+    if mode == "images":
+        if capacity is None:
+            raise ValueError(
+                "nbr_mode 'images' needs nbr_capacity ((neighbor, image) "
+                "slots per atom; 'auto' works in the driver)")
+        return image_neighbor_list(pos, box, mask, r_cut, capacity)
     if mode == "all_pairs":
         nbrs = all_pairs(mask)
         diff = pos[:, :, None, :] - pos[:, None, :, :]

@@ -60,6 +60,26 @@ def write_xyz(path, pos_reduced, symbol="Ar"):
     formats.write_xyz(path, [symbol] * pos_ang.shape[0], pos_ang)
 
 
+def _image_edge_max(pos, box, r_cut):
+    """Max per-atom (neighbor, image) slot count for ``nbr_mode: images``
+    (host-side numpy mirror of ``data.neighbors.max_image_neighbor_count``):
+    one slot per in-cutoff periodic image, self-image pairs excluded."""
+    n = pos.shape[0]
+    r2 = r_cut * r_cut
+    offs = np.array([[a, b, c] for a in (-1, 0, 1) for b in (-1, 0, 1)
+                     for c in (-1, 0, 1)], np.float64) * box
+    counts = np.zeros(n, np.int64)
+    for lo in range(0, n, 1024):
+        diff0 = pos[lo:lo + 1024, None, :] - pos[None, :, :]
+        same = np.zeros(diff0.shape[:2], bool)
+        same[np.arange(diff0.shape[0]),
+             np.arange(lo, lo + diff0.shape[0])] = True
+        for off in offs:
+            d2 = ((diff0 + off) ** 2).sum(-1)
+            counts[lo:lo + 1024] += ((d2 < r2) & ~same).sum(axis=1)
+    return int(counts.max())
+
+
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
            "bfloat16": jnp.bfloat16}
 
@@ -265,9 +285,18 @@ class Main:
         if nbr_capacity == "auto":
             if self.dataset is None or not len(self.dataset):
                 raise ValueError("nbr_capacity: auto requires a dataset")
-            from .. import native
             s0 = self.dataset[0]
-            nbr_capacity = native.suggest_capacity(s0.pos, s0.box, s0.r_cut)
+            if dyn.get("nbr_mode") == "images":
+                # images mode counts (neighbor, image) slots, not pairs
+                mx = _image_edge_max(np.asarray(s0.pos, np.float64),
+                                     np.asarray(s0.box, np.float64),
+                                     float(s0.r_cut))
+                cap = int(np.ceil(mx * 1.25))
+                nbr_capacity = max(8, ((cap + 7) // 8) * 8)
+            else:
+                from .. import native
+                nbr_capacity = native.suggest_capacity(s0.pos, s0.box,
+                                                       s0.r_cut)
             if self.is_main:
                 eprint(f"nbr_capacity: auto -> {nbr_capacity}", flush=True)
         elif nbr_capacity is not None:
@@ -468,8 +497,29 @@ class Main:
         check_nbr = (cfg.nbr_mode in ("dense", "topk", "cell")
                      and cfg.nbr_capacity is not None
                      and (n_max is None or cfg.nbr_capacity < n_max))
+        check_images = cfg.nbr_mode == "images"
         check_cell = cfg.nbr_mode == "cell"
-        if not (check_nbr or check_cell):
+        # min-image modes keep at most one edge per pair; when box < 2*r_cut
+        # the reference's 27-image builder emits one edge per in-cutoff image
+        # (reference data/base.py:122-144) — warn LOUDLY and point at the
+        # mode that computes that edge set
+        if cfg.nbr_mode in ("dense", "topk", "cell"):
+            min_box = min(float(np.asarray(self.dataset[i].box).min())
+                          for i in range(len(self.dataset)))
+            max_rc = max(float(self.dataset[i].r_cut)
+                         for i in range(len(self.dataset)))
+            if min_box < 2.0 * max_rc:
+                import warnings
+                msg = (f"box < 2*r_cut (min box {min_box:.3g} < "
+                       f"{2 * max_rc:.3g}): the min-image neighbor mode "
+                       f"'{cfg.nbr_mode}' keeps one edge per pair, but in "
+                       "this regime pairs interact through multiple "
+                       "periodic images (one edge per in-cutoff image). "
+                       "Set dynamics.nbr_mode: images for the full "
+                       "multi-image edge set.")
+                warnings.warn(msg)
+                eprint("WARNING: " + msg, flush=True)
+        if not (check_nbr or check_cell or check_images):
             return
 
         # host-side numpy (row-chunked: O(chunk*N) memory) — a jitted device
@@ -488,6 +538,9 @@ class Main:
                     d2 = (diff * diff).sum(-1)
                     within = (d2 < r2).sum(axis=1) - 1   # exclude self
                     max_nbr = max(max_nbr, int(within.max()))
+            if check_images:
+                max_nbr = max(max_nbr, _image_edge_max(
+                    pos, box, float(s.r_cut)))
             if check_cell:
                 m = int(cfg.cells_per_dim)
                 frac = pos / box + 0.5
@@ -496,10 +549,13 @@ class Main:
                 cid = (ijk[:, 0] * m + ijk[:, 1]) * m + ijk[:, 2]
                 max_occ = max(max_occ, int(np.bincount(cid).max()))
         errs = []
-        if check_nbr and max_nbr > cfg.nbr_capacity:
+        if (check_nbr or check_images) and max_nbr > (cfg.nbr_capacity
+                                                      or 10 ** 9):
+            kind = ("in-cutoff (neighbor, image) slots" if check_images
+                    else "in-cutoff neighbors")
             errs.append(
                 f"nbr_capacity={cfg.nbr_capacity} is too small: an atom in "
-                f"this dataset has {max_nbr} in-cutoff neighbors — edges "
+                f"this dataset has {max_nbr} {kind} — edges "
                 f"would be silently dropped. Set dynamics.nbr_capacity >= "
                 f"{max_nbr} (plus headroom for mid-flow motion)")
         if check_cell and max_occ > cfg.cell_capacity:
@@ -511,7 +567,7 @@ class Main:
         if errs:
             raise ValueError("; ".join(errs) +
                              " (or set dynamics.validate_capacity: false)")
-        if self.is_main and (check_nbr or check_cell):
+        if self.is_main and (check_nbr or check_cell or check_images):
             eprint(f"capacity check: max neighbors {max_nbr}"
                    + (f", max cell occupancy {max_occ}" if check_cell else "")
                    + " — within capacity", flush=True)
@@ -1002,6 +1058,12 @@ class Main:
         algo_name = str(sec.get("algo", "smc")).lower()
         if algo_name == "remc":
             return self._sample_remc(sec, propose, log_q0, log_p, P)
+        if algo_name in ("hmc", "nuts", "mala"):
+            return self._sample_mcmc(algo_name, sec, propose, log_p, P)
+        if algo_name not in ("smc", "ais"):
+            raise ValueError(
+                f"sampling.algo={algo_name!r}; expected one of "
+                "smc | ais | remc | hmc | nuts | mala")
         algo = smc_fn if algo_name == "smc" else ais_fn
 
         extra = {}
@@ -1092,6 +1154,87 @@ class Main:
                 extra_out[f"{name}_centers"] = c
                 extra_out[f"{name}_free_energy"] = F
         return extra_out
+
+    def _sample_mcmc(self, algo, sec, propose, log_p, C):
+        """``sampling.algo: hmc | nuts | mala`` — plain MCMC on the target
+        density with chains initialized from flow draws.
+
+        Closes the PARITY.md capability claim (the samplers existed as
+        tested library code, ``sample/mcmc.py`` / ``sample/nuts.py``, but no
+        YAML could reach them). Chains start at flow proposals rather than
+        random states: cold random inits strand LJ chains at ~1e11 energies
+        that warmup never rescues (measured, scripts/quality_lj13.py).
+
+        Keys: ``n_particles`` (chain count), ``n_samples`` (post-warmup
+        sweeps kept), ``n_warmup``, ``thin``, ``step_size``; HMC adds
+        ``n_leapfrog`` and ``adapt_step``/``target_accept`` (dual-averaging
+        warmup); NUTS adds ``max_depth``. Output npz holds thinned samples
+        with a leading ``[n_samples * n_chains]`` axis (unweighted draws).
+        """
+        from ..sample import mcmc as mcmc_lib
+
+        n_samples = int(sec.get("n_samples", 100))
+        n_warmup = int(sec.get("n_warmup", 50))
+        thin = int(sec.get("thin", 1))
+        step_size = float(sec.get("step_size", 0.02))
+        kp, kw, kr = jax.random.split(jax.random.PRNGKey(self.seed + 31), 3)
+        x0 = jax.jit(propose)(kp)
+        extra_info = {}
+
+        if algo == "hmc":
+            n_leapfrog = int(sec.get("n_leapfrog", 5))
+            if bool(sec.get("adapt_step", False)):
+                eps, x0 = jax.jit(lambda k, x: mcmc_lib.dual_averaging_warmup(
+                    k, x, log_p, n_adapt=max(n_warmup, 1),
+                    n_leapfrog=n_leapfrog,
+                    target_accept=float(sec.get("target_accept", 0.65)),
+                    init_step_size=step_size))(kw, x0)
+                step_size = float(eps)
+                n_warmup = 0
+            res = jax.jit(lambda k, x: mcmc_lib.run_hmc(
+                k, x, log_p, n_samples=n_samples, n_warmup=n_warmup,
+                step_size=step_size, n_leapfrog=n_leapfrog, thin=thin))(
+                kr, x0)
+            samples = res.samples
+            extra_info = {"accept_rate": np.asarray(res.accept_rate),
+                          "step_size": step_size}
+        elif algo == "mala":
+            res = jax.jit(lambda k, x: mcmc_lib.run_mala(
+                k, x, log_p, n_samples=n_samples, n_warmup=n_warmup,
+                step_size=step_size, thin=thin))(kr, x0)
+            samples = res.samples
+            extra_info = {"accept_rate": np.asarray(res.accept_rate),
+                          "step_size": step_size}
+        else:  # nuts
+            from jax.flatten_util import ravel_pytree
+            from ..sample.nuts import run_nuts
+            one = jax.tree_util.tree_map(lambda a: a[0], x0)
+            _, unravel = ravel_pytree(one)
+            flat0 = jax.vmap(lambda xx: ravel_pytree(xx)[0])(x0)
+            res = jax.jit(lambda k, x: run_nuts(
+                k, x, lambda v: log_p(unravel(v)), n_samples=n_samples,
+                n_warmup=n_warmup, step_size=step_size,
+                max_depth=int(sec.get("max_depth", 8))))(kr, flat0)
+            samples = jax.vmap(jax.vmap(unravel))(res.samples)
+            extra_info = {"mean_depth": float(res.mean_depth),
+                          "divergence_rate": float(res.divergence_rate)}
+        jax.block_until_ready(samples)
+        if self.num_processes > 1:
+            from jax.experimental import multihost_utils
+            samples = multihost_utils.process_allgather(samples, tiled=True)
+
+        flat = {k: np.asarray(v).reshape((-1,) + v.shape[2:])
+                for k, v in samples.items()}
+        out_path = sec.get("output", "samples.npz")
+        extra_out = self._ff_extras(flat["pos"], None, sec)
+        if self.is_main:
+            np.savez(out_path, algo=algo, **flat, **extra_info, **extra_out)
+            stats = "  ".join(f"{k}={float(np.asarray(v)):.3g}"
+                              for k, v in extra_info.items())
+            print(f"sampled {flat['pos'].shape[0]} draws "
+                  f"({n_samples} sweeps x {C} chains, {algo}) -> {out_path}"
+                  f"  {stats}", flush=True)
+        return samples
 
     def _sample_remc(self, sec, propose, log_q0, log_p, M):
         """``sampling.algo: remc`` — flow-bridged parallel tempering:
