@@ -330,3 +330,40 @@ def dual_averaging_warmup(key, x0, log_prob: Callable, *, n_adapt: int = 100,
         (jnp.arange(n_adapt, dtype=jnp.float32),
          jax.random.split(key, n_adapt)))
     return jnp.exp(log_eps_bar), x
+
+
+def run_mala(key, x0, log_prob: Callable, *, n_samples: int,
+             n_warmup: int = 0, step_size=0.01, thin: int = 1) -> HMCResult:
+    """Run vmapped MALA chains (same contract/result type as :func:`run_hmc`).
+
+    ``x0`` carries a leading chain axis ``[C, ...]``; each sweep applies
+    ``thin`` :func:`mala_kernel` steps per chain; warmup sweeps are
+    discarded. Gradients are one density backward per proposal — the cheap
+    local-move companion to HMC for targets where leapfrog trajectories
+    don't pay (library capability claimed by PARITY.md; YAML-reachable via
+    ``sampling.algo: mala``).
+    """
+    kernel = jax.vmap(lambda k, x: mala_kernel(k, x, log_prob, step_size))
+    n_chains = jax.tree_util.tree_leaves(x0)[0].shape[0]
+
+    def sweep(carry, k):
+        x, acc = carry
+        keys = jax.random.split(k, n_chains)
+
+        def one(i, xa):
+            x, a = xa
+            x, accepted = kernel(jax.vmap(jax.random.fold_in,
+                                          (0, None))(keys, i), x)
+            return x, a + accepted.mean()
+
+        x, acc_inc = jax.lax.fori_loop(0, thin, one, (x, 0.0))
+        return (x, acc + acc_inc / thin), x
+
+    key, kw = jax.random.split(key)
+    if n_warmup:
+        (x0, _), _ = jax.lax.scan(sweep, (x0, 0.0),
+                                  jax.random.split(kw, n_warmup))
+    (xf, acc), samples = jax.lax.scan(sweep, (x0, 0.0),
+                                      jax.random.split(key, n_samples))
+    return HMCResult(samples=samples, final_state=xf,
+                     accept_rate=acc / n_samples)

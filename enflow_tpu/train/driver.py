@@ -437,8 +437,10 @@ class Main:
             self.start_epoch = int(checkpoint_hparams["epoch"]) + 1
 
         if self.is_main:
-            eprint("In generate mode" if self.mode == "gen"
-                   else "In training mode", flush=True)
+            eprint({"gen": "In generate mode", "sample": "In sample mode",
+                    "data": "In dataset mode"}.get(self.mode,
+                                                   "In training mode"),
+                   flush=True)
 
     # ------------------------------------------------------------------
     # train

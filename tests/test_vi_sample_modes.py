@@ -469,3 +469,63 @@ def test_flow_vi_anneal_to_uncapped(tmp_path, capsys):
     losses = [float(r.split()[1]) for r in rows]
     assert len(losses) == 3
     assert all(np.isfinite(losses))
+
+
+def _mcmc_sample_config(tmp_path, cfg, algo, **kw):
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 5,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"]},
+        "sampling": {
+            "algo": algo,
+            "n_particles": 16,
+            "n_samples": 40,
+            "n_warmup": 40,
+            "step_size": 0.1,
+            "output": str(tmp_path / f"{algo}.npz"),
+            "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
+                       "kBT": 1.0},
+            **kw,
+        },
+    }
+    return sample_cfg
+
+
+@pytest.mark.parametrize("algo,extra", [
+    ("hmc", {"n_leapfrog": 3, "adapt_step": True, "target_accept": 0.8}),
+    ("mala", {"thin": 2}),
+    ("nuts", {"max_depth": 5}),
+])
+def test_sample_mode_mcmc(tmp_path, capsys, algo, extra):
+    """sampling.algo: hmc | nuts | mala through the driver (VERDICT item 4:
+    the library samplers must be YAML-reachable). Gaussian target with
+    std 0.5 — unweighted draws must recover the moment."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    capsys.readouterr()
+
+    run_main(tmp_path, _mcmc_sample_config(tmp_path, cfg, algo, **extra),
+             f"{algo}.yaml")
+    out = capsys.readouterr().out
+    assert f"{algo})" in out
+    data = np.load(tmp_path / f"{algo}.npz")
+    assert data["pos"].shape == (40 * 16, 5, 3)
+    for k in ("pos", "vel", "h", "g"):
+        assert np.isfinite(data[k]).all()
+    # target moment: pos ~ N(0, 0.5^2); vel/h/g unit normal aux
+    assert abs(data["pos"].std() - 0.5) < 0.08
+    assert abs(data["vel"].std() - 1.0) < 0.12
+    if algo in ("hmc", "mala"):
+        assert 0.05 < float(data["accept_rate"]) <= 1.0
+    else:
+        assert float(data["divergence_rate"]) < 0.2
+
+
+def test_sample_mode_unknown_algo_raises(tmp_path, capsys):
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    bad = _mcmc_sample_config(tmp_path, cfg, "metropolis")
+    with pytest.raises(ValueError, match="sampling.algo"):
+        run_main(tmp_path, bad, "bad.yaml")
