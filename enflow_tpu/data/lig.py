@@ -49,6 +49,16 @@ class LIGDataset(InMemoryDataset):
         dist_units = unit.angstrom if dist_unit == "ang" else unit.nanometers
         scale = 1e-3 if time_unit == "femto" else 1.0
 
+        # BaseDataset pops `box` into self.box before process() runs (unlike
+        # the reference, whose base leaves it in input_params — base.py:190);
+        # recover it here so the explicit-box solvation branch is reachable
+        if box is None:
+            box = self.box
+        if padding is None and box is None:
+            raise ValueError("LIGDataset needs either `padding` or `box` "
+                             "for solvation (reference lig.py:26-33 prints "
+                             "'error' and crashes later; we fail fast)")
+
         molecule = Molecule.from_smiles(smiles)
         for atom in molecule.atoms:
             atom.metadata["residue_name"] = name.upper()[:3]
