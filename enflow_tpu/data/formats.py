@@ -158,6 +158,58 @@ def _read_xdr_string(f):
     return data[:n].rstrip(b"\x00").decode()
 
 
+def _read_trr_header(f, path):
+    """Read one frame header at the current position.
+
+    Returns ``(sizes dict, natoms, step, real_size)`` or None at clean EOF.
+    """
+    head = f.read(4)
+    if len(head) < 4:
+        return None
+    (magic,) = struct.unpack(">i", head)
+    if magic != _TRR_MAGIC:
+        raise ValueError(f"bad TRR magic {magic} in {path}")
+    _read_xdr_string(f)  # "GMX_trn_file"
+    (ir_size, e_size, box_size, vir_size, pres_size, top_size,
+     sym_size, x_size, v_size, f_size, natoms, step, nre) = \
+        struct.unpack(">13i", f.read(52))
+    # float width from whichever section is present
+    if box_size:
+        real_size = box_size // 9
+    elif x_size:
+        real_size = x_size // (3 * natoms)
+    else:
+        real_size = 4
+    sizes = {"box": box_size, "vir": vir_size, "pres": pres_size,
+             "x": x_size, "v": v_size, "f": f_size}
+    return sizes, natoms, step, real_size
+
+
+def _read_trr_frame(f, path):
+    """Read one full frame at the current position; None at clean EOF."""
+    hdr = _read_trr_header(f, path)
+    if hdr is None:
+        return None
+    sizes, natoms, step, real_size = hdr
+    rfmt = ">f" if real_size == 4 else ">d"
+
+    def read_reals(count):
+        return np.frombuffer(f.read(count * real_size),
+                             dtype=np.dtype(rfmt)).astype(np.float64)
+
+    t, lam = read_reals(2)
+    box = read_reals(9).reshape(3, 3) if sizes["box"] else None
+    if sizes["vir"]:
+        read_reals(9)
+    if sizes["pres"]:
+        read_reals(9)
+    x = read_reals(3 * natoms).reshape(natoms, 3) if sizes["x"] else None
+    v = read_reals(3 * natoms).reshape(natoms, 3) if sizes["v"] else None
+    frc = read_reals(3 * natoms).reshape(natoms, 3) if sizes["f"] else None
+    return {"step": step, "time": float(t), "box": box,
+            "pos": x, "vel": v, "force": frc}
+
+
 def read_trr(path):
     """Parse a .trr trajectory natively (replaces pymolr, reference trr.py).
 
@@ -167,42 +219,45 @@ def read_trr(path):
     frames = []
     with open(path, "rb") as f:
         while True:
-            head = f.read(4)
-            if len(head) < 4:
+            fr = _read_trr_frame(f, path)
+            if fr is None:
                 break
-            (magic,) = struct.unpack(">i", head)
-            if magic != _TRR_MAGIC:
-                raise ValueError(f"bad TRR magic {magic} in {path}")
-            _read_xdr_string(f)  # "GMX_trn_file"
-            (ir_size, e_size, box_size, vir_size, pres_size, top_size,
-             sym_size, x_size, v_size, f_size, natoms, step, nre) = \
-                struct.unpack(">13i", f.read(52))
-            # float width from whichever section is present
-            if box_size:
-                real_size = box_size // 9
-            elif x_size:
-                real_size = x_size // (3 * natoms)
-            else:
-                real_size = 4
-            rfmt = ">f" if real_size == 4 else ">d"
-
-            def read_reals(count):
-                return np.frombuffer(
-                    f.read(count * real_size),
-                    dtype=np.dtype(rfmt)).astype(np.float64)
-
-            t, lam = read_reals(2)
-            box = read_reals(9).reshape(3, 3) if box_size else None
-            if vir_size:
-                read_reals(9)
-            if pres_size:
-                read_reals(9)
-            x = read_reals(3 * natoms).reshape(natoms, 3) if x_size else None
-            v = read_reals(3 * natoms).reshape(natoms, 3) if v_size else None
-            frc = read_reals(3 * natoms).reshape(natoms, 3) if f_size else None
-            frames.append({"step": step, "time": float(t), "box": box,
-                           "pos": x, "vel": v, "force": frc})
+            frames.append(fr)
     return frames
+
+
+def index_trr(path):
+    """Frame-start byte offsets + first-frame atom count, in O(1) memory
+    (pure-Python fallback of ``native.trr_index``): headers are parsed,
+    frame bodies are ``seek``'d over.
+    """
+    offsets, natoms = [], 0
+    with open(path, "rb") as f:
+        while True:
+            off = f.tell()
+            hdr = _read_trr_header(f, path)
+            if hdr is None:
+                break
+            sizes, n, _, real_size = hdr
+            if not offsets:
+                natoms = n
+            offsets.append(off)
+            body = 2 + 9 * ((sizes["box"] > 0) + (sizes["vir"] > 0)
+                            + (sizes["pres"] > 0))
+            body += 3 * n * ((sizes["x"] > 0) + (sizes["v"] > 0)
+                             + (sizes["f"] > 0))
+            f.seek(body * real_size, 1)
+    return np.asarray(offsets, np.int64), natoms
+
+
+def read_trr_frame_at(path, offset):
+    """Read one frame at a byte offset from :func:`index_trr`."""
+    with open(path, "rb") as f:
+        f.seek(int(offset))
+        fr = _read_trr_frame(f, path)
+    if fr is None:
+        raise IOError(f"no TRR frame at offset {offset} in {path}")
+    return fr
 
 
 def write_trr(path, frames, double=False):

@@ -130,15 +130,32 @@ class MDDataset(InMemoryDataset):
 @register_dataset("largemd")
 class LargeMDDataset(BaseDataset):
     """Lazy per-index trajectory reader (reference md.py:7-23): Samples are
-    built per access (no materialized Sample list); the parsed raw frames and
-    topology are cached once per instance — the parsers return whole-file
-    frame lists, so re-parsing per ``__getitem__`` would make dataset startup
-    quadratic in trajectory length."""
+    built per access (no materialized Sample list).
+
+    ``.trr`` trajectories stream: only a frame-offset index is resident and
+    each access reads ONE frame from disk, so host RSS stays O(frame) for
+    trajectories of any length — the one scalability property the
+    reference's class actually had (its MDAnalysis reader re-opens the
+    trajectory per access). Text formats (.xyz/.pdb/.gro) parse once and
+    cache the raw frames (they are line-oriented and typically small; the
+    parsers return whole-file lists, so re-parsing per ``__getitem__`` would
+    make access quadratic in trajectory length)."""
 
     def _frames(self):
         if not hasattr(self, "_frame_cache"):
             self._frame_cache = _frames_index(self.input_params["traj_file"])
         return self._frame_cache
+
+    def _is_streaming(self):
+        return self.input_params["traj_file"].endswith(".trr")
+
+    def _frame_at(self, idx):
+        """(pos, vel) of one frame — streamed for .trr, cached otherwise."""
+        if self._is_streaming():
+            path, offset, natoms = _trr_entries(self)[idx]
+            fr = _read_trr_frame(path, offset, natoms)
+            return fr["pos"], fr["vel"]
+        return self._frames()[idx]
 
     def _symbols(self, natoms):
         top = self.input_params.get("top_file")
@@ -151,13 +168,15 @@ class LargeMDDataset(BaseDataset):
         return self._symbol_cache
 
     def __len__(self):
+        if self._is_streaming():
+            return len(_trr_entries(self))
         return len(self._frames())
 
     def __getitem__(self, idx):
         traj = self.input_params["traj_file"]
         dist_unit = self.input_params.get("dist_unit", "ang")
         time_unit = self.input_params.get("time_unit", "pico")
-        pos, vel = self._frames()[idx]
+        pos, vel = self._frame_at(idx)
         file_d, file_t = _traj_units(traj)
         z = self._symbols(pos.shape[0])
         return self._get_sample(
@@ -167,27 +186,50 @@ class LargeMDDataset(BaseDataset):
             label=f"Frame: {idx}")
 
 
+def _trr_entries(ds):
+    """Build (and cache on ``ds``) the streaming index: a list of
+    ``(path, byte_offset, natoms)`` per frame across the dataset's
+    trajectory files. Native header scan with pure-Python fallback; O(1)
+    memory either way (bodies are seeked over, never read)."""
+    if not hasattr(ds, "_trr_index_cache"):
+        from .. import native
+        entries = []
+        for path in _listify(ds.input_params["traj_file"]):
+            idx = native.trr_index(path) if native.available() else None
+            if idx is None:
+                idx = formats.index_trr(path)
+            offsets, natoms = idx
+            entries += [(path, int(o), int(natoms)) for o in offsets]
+        ds._trr_index_cache = entries
+    return ds._trr_index_cache
+
+
+def _read_trr_frame(path, offset, natoms):
+    """Read ONE frame from disk (native fast path, pure-Python fallback)."""
+    from .. import native
+    fr = (native.read_trr_frame(path, offset, natoms)
+          if native.available() else None)
+    if fr is None:
+        fr = formats.read_trr_frame_at(path, offset)
+    return fr
+
+
 @register_dataset("trr")
 class TRRDataset(BaseDataset):
     """Lazy GROMACS TRR reader (reference trr.py:6-35), native binary parser.
+
+    Streaming: construction builds only a frame-offset index (native header
+    scan, ``enflow_trr_index``); every ``__getitem__`` reads ONE frame from
+    disk (``enflow_trr_read_frame``), so host RSS stays O(frame) no matter
+    how large the trajectory — the reference ``LargeMDDataset`` access
+    pattern (md.py:7-23) without its per-access full-file reopen.
 
     ``top_file`` may be a .gro/.pdb giving atom names (for element guessing);
     TRR itself carries no topology.
     """
 
     def __len__(self):
-        return len(self._frames())
-
-    def _frames(self):
-        if not hasattr(self, "_frame_cache"):
-            from .. import native
-            self._frame_cache = []
-            for path in _listify(self.input_params["traj_file"]):
-                frames = native.read_trr(path) if native.available() else None
-                if frames is None:
-                    frames = formats.read_trr(path)
-                self._frame_cache += frames
-        return self._frame_cache
+        return len(_trr_entries(self))
 
     def _symbols(self, natoms):
         top = self.input_params.get("top_file")
@@ -199,7 +241,8 @@ class TRRDataset(BaseDataset):
     def __getitem__(self, idx):
         dist_unit = self.input_params.get("dist_unit", "ang")
         time_unit = self.input_params.get("time_unit", "pico")
-        fr = self._frames()[idx]
+        path, offset, natoms = _trr_entries(self)[idx]
+        fr = _read_trr_frame(path, offset, natoms)
         pos = fr["pos"]
         # TRR is nm / ps (the working scale pattern, reference trr.py:13-24)
         dscale = _dist_scale("nm", dist_unit)

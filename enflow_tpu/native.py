@@ -46,6 +46,16 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int)]
+    lib.enflow_trr_index.restype = ctypes.c_long
+    lib.enflow_trr_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long)]
+    lib.enflow_trr_read_frame.restype = ctypes.c_long
+    lib.enflow_trr_read_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int)]
     lib.enflow_cell_list_neighbor_counts.restype = ctypes.c_int
     lib.enflow_cell_list_neighbor_counts.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long,
@@ -98,6 +108,53 @@ def read_trr(path):
             "force": None,
         })
     return frames
+
+
+def trr_index(path):
+    """Frame-start byte offsets + atom count of a .trr, in O(1) memory
+    (headers read, bodies seeked). Returns ``(offsets [F] int64, natoms)``
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    natoms = ctypes.c_long(0)
+    total = lib.enflow_trr_index(path.encode(), 0, None,
+                                 ctypes.byref(natoms))
+    if total < 0:
+        raise IOError(f"cannot read TRR file {path}")
+    offsets = np.zeros((total,), np.int64)
+    got = lib.enflow_trr_index(
+        path.encode(), total,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ctypes.byref(natoms))
+    if got != total:
+        raise IOError(f"TRR file changed while indexing: {path}")
+    return offsets, natoms.value
+
+
+def read_trr_frame(path, offset, natoms):
+    """Read one frame at a byte offset from :func:`trr_index`.
+
+    Returns a frame dict with the same interface as one entry of
+    :func:`read_trr`, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pos = np.zeros((natoms, 3), np.float64)
+    vel = np.zeros((natoms, 3), np.float64)
+    box = np.zeros((3,), np.float64)
+    step = ctypes.c_long(0)
+    has_vel = ctypes.c_int(0)
+    got = lib.enflow_trr_read_frame(
+        path.encode(), int(offset), natoms, _dptr(pos), _dptr(vel),
+        _dptr(box), ctypes.byref(step), ctypes.byref(has_vel))
+    if got < 0:
+        raise IOError(f"native TRR frame read failed at offset {offset} "
+                      f"in {path}")
+    return {"step": int(step.value), "time": 0.0,
+            "box": np.diag(box) if box.any() else None,
+            "pos": pos[:got], "vel": vel[:got] if has_vel.value else None,
+            "force": None}
 
 
 def neighbor_counts(pos, box, r_cut):

@@ -136,6 +136,75 @@ long enflow_trr_count_frames(const char* path, long* natoms_out) {
     return frames;
 }
 
+// Index frame-start byte offsets (constant memory: headers are read, frame
+// bodies are fseek'd over). Writes up to max_frames offsets; returns the
+// TOTAL frame count (callers size a second pass from it), or -1 on error.
+// natoms_out gets the first frame's atom count. This is the streaming
+// counterpart of enflow_trr_read: LargeMDDataset/TRRDataset keep only the
+// offset table resident and read one frame per __getitem__ (the reference's
+// O(1)-host-memory access pattern, enflow/data/md.py:7-23).
+long enflow_trr_index(const char* path, long max_frames, long* offsets,
+                      long* natoms_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    long frames = 0;
+    TrrHeader h;
+    for (;;) {
+        long off = ftell(f);
+        if (!read_trr_header(f, &h)) break;
+        if (frames == 0 && natoms_out) *natoms_out = h.natoms;
+        if (frames < max_frames && offsets) offsets[frames] = off;
+        if (!skip_frame_body(f, h)) break;
+        ++frames;
+    }
+    fclose(f);
+    return frames;
+}
+
+// Read ONE frame at a byte offset from enflow_trr_index into caller
+// buffers pos/vel [max_atoms*3], box [3]. Returns the frame's atom count,
+// or -1 on error/overflow.
+long enflow_trr_read_frame(const char* path, long offset, long max_atoms,
+                           double* pos, double* vel, double* box,
+                           long* step, int* has_vel) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    TrrHeader h;
+    double full_box[9];
+    long natoms = -1;
+    do {
+        if (fseek(f, offset, SEEK_SET) != 0) break;
+        if (!read_trr_header(f, &h)) break;
+        if (h.natoms > max_atoms) break;
+        int rs = h.real_size;
+        long n3 = 3L * h.natoms;
+        if (!skip_reals(f, 2, rs)) break;  // t, lambda
+        if (h.box_size) {
+            if (!read_reals(f, full_box, 9, rs)) break;
+            box[0] = full_box[0];
+            box[1] = full_box[4];
+            box[2] = full_box[8];
+        } else {
+            box[0] = box[1] = box[2] = 0.0;
+        }
+        if (h.vir_size && !skip_reals(f, 9, rs)) break;
+        if (h.pres_size && !skip_reals(f, 9, rs)) break;
+        std::memset(pos, 0, sizeof(double) * h.natoms * 3);
+        std::memset(vel, 0, sizeof(double) * h.natoms * 3);
+        if (h.x_size && !read_reals(f, pos, n3, rs)) break;
+        if (h.v_size) {
+            if (!read_reals(f, vel, n3, rs)) break;
+            *has_vel = 1;
+        } else {
+            *has_vel = 0;
+        }
+        *step = h.step;
+        natoms = h.natoms;
+    } while (false);
+    fclose(f);
+    return natoms;
+}
+
 // Read up to max_frames into caller-allocated buffers:
 //   pos  [max_frames * max_atoms * 3] doubles (nm)
 //   vel  [max_frames * max_atoms * 3] doubles (nm/ps); zero-filled if absent
