@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.helpers import min_image
 
@@ -131,9 +132,12 @@ def max_neighbor_count(pos, box, mask, r_cut):
 
 
 # 27 periodic-image offsets in {-1, 0, 1}^3 (own cell included).
-_IMAGE_OFFSETS = jnp.array(
+# Host-side numpy constant: a module-level jnp.array would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in multi-host workers (import enflow_tpu must stay backend-free).
+_IMAGE_OFFSETS = np.array(
     [[a, b, c] for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)],
-    dtype=jnp.int32)
+    dtype=np.int32)
 
 
 def _neighbors_one_images(pos, box, mask, r_cut, capacity):

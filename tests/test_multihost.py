@@ -207,3 +207,26 @@ def test_two_process_flow_vi(tmp_path):
     assert len(rows) == 3
     assert all(np.isfinite(float(r.split(",")[2])) for r in rows[1:])
     assert (tmp_path / "model_vi.cpt").exists()
+
+
+def test_import_is_backend_free():
+    """Importing the package must not instantiate an XLA backend:
+    jax.distributed.initialize() (driver startup, multi-host workers)
+    requires a pristine backend state, so any module-level jnp constant is
+    a multi-host-breaking bug (regression: data/neighbors._IMAGE_OFFSETS
+    as jnp.array broke every multi-process run)."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax._src import xla_bridge\n"
+        "import enflow_tpu.train.driver\n"
+        "import enflow_tpu.data.readers\n"
+        "import enflow_tpu.sample\n"
+        "assert not xla_bridge._backends, "
+        "f'backend initialized at import: {list(xla_bridge._backends)}'\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
