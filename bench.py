@@ -113,8 +113,21 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None):
     return run
 
 
-def timed_rate(run, P, repeats=3, check=None):
+# TPU compiler tuning (measured on v5e at the frozen config, round 2):
+# raising the scoped-VMEM budget to 32 MiB keeps more of the [P,169,128]
+# edge-tensor traffic between fusions in VMEM — 6.23k -> 6.45k samples/s
+# (+3.5%). Swept 8/16(default)/24/32/40/48/64 MiB: 32 is the reproducible
+# optimum; both larger and smaller lose (less room for MSA prefetch above,
+# spills below). See RESULTS.md roofline section.
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
+
+def timed_rate(run, P, repeats=3, check=None, tpu_opts=True):
     fn = jax.jit(lambda k: run(k, P))
+    if tpu_opts and jax.devices()[0].platform not in ("cpu", "gpu"):
+        lowered = fn.lower(jax.random.PRNGKey(1))
+        compiled = lowered.compile(compiler_options=TPU_COMPILER_OPTIONS)
+        fn = compiled
     res = fn(jax.random.PRNGKey(1))          # compile + warm
     jax.block_until_ready(res.particles)
     if check is not None:
@@ -142,9 +155,11 @@ def main():
     cpu = jax.devices("cpu")
     if cpu and dev.platform != "cpu":
         with jax.default_device(cpu[0]):
-            # fair baseline: f32 on CPU (bf16 is emulated and slow there)
+            # fair baseline: f32 on CPU (bf16 is emulated and slow there);
+            # 3 repeats — a single P=64 CPU repeat made the denominator of
+            # the headline ratio noisy (VERDICT r1)
             cpu_rate, _, _, _ = timed_rate(build(compute_dtype=None), P_CPU,
-                                           repeats=1)
+                                           repeats=3, tpu_opts=False)
         vs_baseline = tpu_rate / cpu_rate
     else:
         vs_baseline = 1.0
