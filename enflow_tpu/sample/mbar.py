@@ -85,3 +85,47 @@ def mbar_from_remc(res, log_p, log_q0=None):
              + betas[:, None] * lp[None, :])
     M = lp.shape[0] // K
     return u_kn, jnp.full((K,), M, u_kn.dtype)
+
+
+def mbar_block_log_z(u_kn, states, columns, K: int, n_blocks: int = 4,
+                     n_iter: int = 200):
+    """Block-replicate MBAR ``log_Z`` estimates over independent chain
+    columns.
+
+    The honest error bar for an REMC+MBAR free energy: replica-exchange
+    swaps act *within* a chain column and the initial draws are independent
+    per slot, so distinct columns are statistically independent replicates
+    while per-sample (ESS-style) errors understate (round-to-round and
+    swap-induced correlation; same lesson as the SMC replicate-scatter
+    finding in scripts/quality_lj13.py). Splits the ``M`` columns into
+    ``n_blocks`` equal contiguous blocks, solves MBAR on each block alone,
+    and returns the per-block ``-(f[-1] - f[0])`` estimates; report
+    ``mean +- std/sqrt(n_blocks)``.
+
+    Args:
+      u_kn:    ``[K, N]`` reduced potentials of the pooled samples.
+      states:  ``[N]`` int state index each pooled sample was drawn from.
+      columns: ``[N]`` int chain-column index (0..M-1) of each sample.
+      K:       number of states.
+      n_blocks: replicate blocks (columns beyond ``M - M % n_blocks``
+        are dropped so every block has identical composition — one jitted
+        MBAR shape).
+    """
+    import numpy as np
+
+    states = np.asarray(states)
+    columns = np.asarray(columns)
+    M = int(columns.max()) + 1
+    n_blocks = max(1, min(int(n_blocks), M))
+    width = M // n_blocks
+    vals = []
+    solve = jax.jit(mbar, static_argnames=("n_iter",))
+    for b in range(n_blocks):
+        sel = np.nonzero((columns >= b * width)
+                         & (columns < (b + 1) * width))[0]
+        counts_b = np.bincount(states[sel], minlength=K)
+        r = solve(jnp.asarray(np.asarray(u_kn)[:, sel]),
+                  jnp.asarray(counts_b, jnp.asarray(u_kn).dtype),
+                  n_iter=n_iter)
+        vals.append(-float(r.f[-1] - r.f[0]))
+    return np.asarray(vals)

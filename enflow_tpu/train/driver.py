@@ -1316,8 +1316,14 @@ class Main:
                     "sampling.mbar is single-process only: run the MBAR "
                     "analysis on the saved samples npz, or re-run the "
                     "sampler on one process")
-            from ..sample.mbar import mbar, mbar_from_remc
+            from ..sample.mbar import mbar, mbar_block_log_z, mbar_from_remc
             u_kn, counts = mbar_from_remc(res, log_p, log_q0)
+            # provenance of every pooled sample, for the block error bar:
+            # x_final flattens [K, M] row-major -> sample n is state n//M,
+            # chain column n%M
+            K_m = int(np.asarray(res.betas).shape[0])
+            states = np.repeat(np.arange(K_m), M)
+            columns = np.tile(np.arange(M), K_m)
             # pool thinned post-discard beta=1 rounds too: x_final alone is
             # K*M samples while the run already holds (R-discard)*M
             # equilibrated target draws (thinned to limit flow evals and
@@ -1340,10 +1346,26 @@ class Main:
                        + b[:, None] * lp2[None, :])
                 u_kn = jnp.concatenate([u_kn, u2], axis=1)
                 counts = counts.at[-1].add(lp2.shape[0])
+                # pooled rounds flatten [R_sel, M] row-major: all are
+                # beta=1 (state K-1) draws, column n%M
+                states = np.concatenate(
+                    [states, np.full(int(lp2.shape[0]), K_m - 1)])
+                columns = np.concatenate(
+                    [columns, np.tile(np.arange(M),
+                                      int(lp2.shape[0]) // M)])
             mres = jax.jit(mbar)(u_kn, counts)
             mbar_out = {"mbar_f": np.asarray(mres.f),
                         "mbar_log_Z": -float(mres.f[-1] - mres.f[0]),
                         "mbar_converged": float(mres.converged)}
+            # replicate error bar over independent chain-column blocks
+            # (within-run per-sample SEs understate — see mbar.py docs)
+            n_blocks = int(sec.get("mbar_blocks", 4))
+            if n_blocks > 1 and M >= n_blocks:
+                blocks = mbar_block_log_z(u_kn, states, columns, K_m,
+                                          n_blocks=n_blocks)
+                mbar_out["mbar_log_Z_blocks"] = blocks
+                mbar_out["mbar_log_Z_se"] = float(
+                    blocks.std(ddof=1) / np.sqrt(len(blocks)))
 
         if self.num_processes > 1:
             from jax.experimental import multihost_utils
@@ -1364,6 +1386,8 @@ class Main:
             sa = np.asarray(res.swap_accept)
             mb = (f"  mbar_log_Z={mbar_out['mbar_log_Z']:.3f}"
                   if mbar_out else "")
+            if "mbar_log_Z_se" in mbar_out:
+                mb += f"+-{mbar_out['mbar_log_Z_se']:.3f}"
             print(f"remc: {n_rounds} rounds x {M} chains x {K} temps -> "
                   f"{out_path}  kept {keep['pos'].shape[0]} rounds  "
                   f"swap_accept=[{sa.min():.2f},{sa.max():.2f}]  "

@@ -329,6 +329,13 @@ def test_sample_mode_remc(tmp_path, capsys):
     assert data["mbar_f"].shape == (3,)
     assert np.isfinite(float(data["mbar_log_Z"]))
     assert float(data["mbar_converged"]) < 1e-4
+    # chain-column block replicate error bar (VERDICT r1 item 9)
+    assert data["mbar_log_Z_blocks"].shape == (4,)
+    se = float(data["mbar_log_Z_se"])
+    assert 0.0 < se < 2.0
+    assert abs(data["mbar_log_Z_blocks"].mean()
+               - float(data["mbar_log_Z"])) < 6 * se + 0.2
+    assert "+-" in out
 
 
 def test_remc_minimal_ladder_reaches_beta1(tmp_path, capsys):
