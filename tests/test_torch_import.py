@@ -303,3 +303,72 @@ def test_driver_trains_from_imported_checkpoint(tmp_path):
     main(str(cfg_path))
     assert main.start_epoch == 8          # imported epoch 7 + 1
     assert has_tree(npz, "opt_state")     # re-saved with optimizer state
+
+
+# ---------------------------------------------------------------------------
+# export (utils/torch_export.py): our .npz -> reference .cpt
+# ---------------------------------------------------------------------------
+
+def test_export_roundtrips_reference_state_dict(tmp_path):
+    """import -> export reproduces the original reference checkpoint:
+    identical key set, bit-equal tensors (double transpose), metadata
+    preserved."""
+    from enflow_tpu.utils.torch_export import export_reference_checkpoint
+
+    rng = np.random.default_rng(11)
+    cpt_in = make_reference_ckpt(tmp_path, rng)
+    npz = str(tmp_path / "model.npz")
+    import_reference_checkpoint(cpt_in, npz)
+    cpt_out = str(tmp_path / "back.cpt")
+    export_reference_checkpoint(npz, cpt_out, lr=2e-3)
+
+    a = torch.load(cpt_in, weights_only=False)
+    b = torch.load(cpt_out, weights_only=False)
+    assert set(a["model_state_dict"]) == set(b["model_state_dict"])
+    for k in a["model_state_dict"]:
+        np.testing.assert_array_equal(a["model_state_dict"][k].numpy(),
+                                      b["model_state_dict"][k].numpy())
+    for k in ("epoch", "node_nf", "hidden_nf", "softening", "lj_kBT",
+              "integrator", "n_iter", "dt"):
+        assert a[k] == b[k], k
+
+
+def test_exported_checkpoint_restores_into_reference_torch_run(tmp_path):
+    """The exported dict supports the reference's resume path
+    (main.py:100-116,193-195): model_state_dict loads into torch Linear
+    stacks of the right shapes, and optimizer_state_dict loads into a
+    fresh torch Adam and steps."""
+    from enflow_tpu.utils.torch_export import export_reference_checkpoint
+
+    rng = np.random.default_rng(12)
+    npz = str(tmp_path / "model.npz")
+    import_reference_checkpoint(make_reference_ckpt(tmp_path, rng), npz)
+    cpt = str(tmp_path / "export.cpt")
+    export_reference_checkpoint(npz, cpt, lr=5e-4)
+    ckpt = torch.load(cpt, weights_only=False)
+
+    params = [torch.nn.Parameter(t.clone())
+              for t in ckpt["model_state_dict"].values()]
+    opt = torch.optim.Adam(params, lr=1e-3)
+    opt.load_state_dict(ckpt["optimizer_state_dict"])
+    assert opt.param_groups[0]["lr"] == 5e-4     # exported lr wins
+    loss = sum((p ** 2).sum() for p in params)
+    loss.backward()
+    opt.step()                                   # fresh moments, no error
+
+
+def test_export_rejects_floor_dequantizer(tmp_path):
+    from enflow_tpu.flow import FlowConfig, init_flow as _init
+    from enflow_tpu.nn.egcl import EGCLConfig as _E
+    from enflow_tpu.train.checkpoint import save_checkpoint
+    from enflow_tpu.utils.torch_export import export_reference_checkpoint
+
+    cfg = FlowConfig(n_iter=2, dt=0.05, egcl=_E(node_nf=3, hidden_nf=8),
+                     dequantizer="floor")
+    params = _init(jax.random.PRNGKey(0), cfg, np.float64)
+    npz = str(tmp_path / "floor.npz")
+    save_checkpoint(npz, {"params": params},
+                    {"epoch": 0, "node_nf": 3, "hidden_nf": 8,
+                     "dequantizer": "floor", "n_iter": 2, "dt": 0.05})
+    with pytest.raises(ValueError, match="ArgMax"):
+        export_reference_checkpoint(npz, str(tmp_path / "x.cpt"))
