@@ -3,8 +3,11 @@
 Replaces the reference's OpenMM pipeline (reference ``enflow/data/lj.py:9-89``
 + ``enflow/data/simulated.py:15-133``) with the JAX-native MD engine: grid
 initialization, FIRE minimization, Maxwell-Boltzmann thermalization,
-Langevin-middle dynamics under the *softened* LJ potential (the same
-expression the loss uses as its base density — reference lj.py:65-76), frame
+Langevin-middle dynamics under the *softened* LJ potential in the
+``(s + r)``-shifted form of reference lj.py:65-76 (note this differs from
+loss.py's ``r^2 + s`` softening for s > 0 — the MD sampler matches the
+reference's *sampler* convention, the NLL matches its *loss* convention),
+frame
 capture every ``interval`` steps with ``h, g ~ N(0, 1/sqrt(kBT))`` latent
 features (reference simulated.py:59-64).
 
