@@ -209,6 +209,134 @@ def test_two_process_flow_vi(tmp_path):
     assert (tmp_path / "model_vi.cpt").exists()
 
 
+SCALING_WORKER = """\
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+    num_processes=2, process_id=int(os.environ["PROCESS_ID"]))
+assert jax.device_count() == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+sys.path.insert(0, {repo!r})
+from jax.sharding import NamedSharding, PartitionSpec as P
+import bench
+from enflow_tpu.parallel.mesh import get_mesh
+
+mesh = get_mesh(("chain",))
+spec = NamedSharding(mesh, P("chain"))
+run = bench.build(
+    compute_dtype=None,    # bf16 is emulated (slow) on CPU
+    constrain=lambda a: jax.lax.with_sharding_constraint(a, spec))
+
+
+def check(res):
+    pos = res.particles["pos"]
+    assert len(pos.sharding.device_set) == 8, pos.sharding
+    shards = pos.addressable_shards
+    assert len(shards) == 4                      # this process's 4 devices
+    assert all(s.data.shape[0] == 4 for s in shards)   # 32 particles / 8
+
+
+rate, ess_rate, log_Z, dt, _ = bench.timed_rate(
+    run, 32, repeats=1, tpu_opts=False, check=check)
+import numpy as np
+assert np.isfinite(log_Z), log_Z
+print(f"SCALING SMOKE OK rate={{rate:.1f}} log_Z={{log_Z:.3f}}", flush=True)
+"""
+
+
+def test_two_process_bench_scaling_smoke(tmp_path):
+    """2-process x 4-virtual-device weak-scaling smoke (VERDICT r2 item 2):
+    drives ``bench.build()`` — the exact program ``bench_scaling.py`` runs —
+    through the multi-process sample path, so the first real multi-chip
+    scaling run has no untested seams: cross-process mesh construction,
+    sharding constraint propagation through the SMC collectives, and
+    result access via addressable shards."""
+    (tmp_path / "worker.py").write_text(SCALING_WORKER.format(repo=REPO))
+    env = dict(os.environ)
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    procs = []
+    for pid in (0, 1):
+        e = dict(env, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "worker.py"],
+            cwd=tmp_path, env=e, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    for out in outs:
+        assert "SCALING SMOKE OK" in out
+
+
+REMC_YAML = """\
+mode: sample
+units: {time: pico, dist: ang}
+precision: float32
+seed: 6
+dynamics:
+  checkpoint_path: model_vi.cpt
+  nbr_mode: all_pairs
+sampling:
+  algo: remc
+  n_particles: 8
+  n_temps: 3
+  n_rounds: 6
+  discard_rounds: 2
+  mcmc_steps: 1
+  step_size: 0.05
+  n_leapfrog: 2
+  mbar: true
+  mbar_pool_rounds: 2
+  mbar_blocks: 2
+  output: samples_remc.npz
+  target: {type: lj_cluster, n_atoms: 6, kBT: 2.0, c_osc: 0.5}
+"""
+
+
+def test_two_process_remc_e2e(tmp_path):
+    """2-process flow-bridged REMC + MBAR (VERDICT r2 item 3): the chain
+    axis is sharded over the 2-device mesh; the gathered result must keep
+    its global axes intact — samples [R-discard, M_global, ...], x_final
+    per-state bookkeeping feeding a finite multi-process mbar_log_Z."""
+    (tmp_path / "vi.yaml").write_text(VI_YAML.replace("num_epochs: 2",
+                                                      "num_epochs: 1"))
+    (tmp_path / "remc.yaml").write_text(REMC_YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+    env = dict(os.environ)
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    # single-process prep run to produce the checkpoint REMC resumes from
+    prep_env = {k: v for k, v in env.items()
+                if k not in ("COORDINATOR_ADDRESS", "NUM_PROCESSES")}
+    out = subprocess.run([sys.executable, "worker.py", "vi.yaml"],
+                         cwd=tmp_path, env=prep_env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout[-2000:]
+
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    outs = _spawn_pair(tmp_path, env, "remc.yaml")
+    assert "remc: 6 rounds x 8 chains x 3 temps" in outs[0]
+    assert "remc:" not in outs[1]
+    with np.load(tmp_path / "samples_remc.npz") as z:
+        # global axes intact: [R - discard, M_global, N, 3] — a rounds-axis
+        # concat (the pre-fix failure mode) would give 8 kept rounds of 4
+        # chains instead
+        assert z["pos"].shape == (4, 8, 6, 3)
+        assert z["betas"].shape == (3,)
+        assert z["swap_accept"].shape == (2,)
+        assert np.isfinite(float(z["mbar_log_Z"]))
+        assert np.isfinite(z["mbar_log_Z_blocks"]).all()
+
+
 def test_import_is_backend_free():
     """Importing the package must not instantiate an XLA backend:
     jax.distributed.initialize() (driver startup, multi-host workers)

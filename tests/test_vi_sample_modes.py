@@ -275,6 +275,7 @@ def test_sample_mode_smc(tmp_path, capsys):
             "step_size": 0.1,
             "n_leapfrog": 3,
             "output": str(tmp_path / "samples.npz"),
+            "metrics_csv": str(tmp_path / "sample_metrics.csv"),
             "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
                        "kBT": 1.0},
         },
@@ -287,6 +288,16 @@ def test_sample_mode_smc(tmp_path, capsys):
     assert np.isfinite(data["pos"]).all()
     assert np.isfinite(float(data["log_Z"]))
     assert data["ess_history"].shape == (4,)
+    # per-stage anneal diagnostics land in the CSV (VERDICT r2 item 8):
+    # one row per temperature stage with beta monotone to 1 and finite ESS
+    rows = (tmp_path / "sample_metrics.csv").read_text().strip().splitlines()
+    header = rows[0].split(",")
+    assert len(rows) == 1 + 4
+    i_beta, i_ess = header.index("beta"), header.index("ess")
+    betas = [float(r.split(",")[i_beta]) for r in rows[1:]]
+    esses = [float(r.split(",")[i_ess]) for r in rows[1:]]
+    assert betas == sorted(betas) and abs(betas[-1] - 1.0) < 1e-6
+    assert all(np.isfinite(esses))
 
 
 def test_sample_mode_remc(tmp_path, capsys):
