@@ -45,6 +45,44 @@ def parse_xyz(path):
     return frames
 
 
+def index_xyz(path):
+    """Byte-offset index of a (multi-)XYZ file: list of ``(offset, natoms)``
+    per frame. O(1) memory — lines are scanned, never accumulated — so
+    ``LargeMDDataset`` can stream arbitrarily long text trajectories at
+    O(frame) RSS like the reference's per-access re-open pattern
+    (reference ``enflow/data/md.py:7-23``)."""
+    entries = []
+    with open(path, "rb") as f:
+        while True:
+            off = f.tell()
+            line = f.readline()
+            if not line:
+                break
+            s = line.strip()
+            if not s:
+                continue
+            n = int(s)
+            for _ in range(n + 1):     # comment + atom lines
+                f.readline()
+            entries.append((off, n))
+    return entries
+
+
+def read_xyz_frame_at(path, offset):
+    """``(symbols, pos[N,3])`` of ONE XYZ frame starting at byte ``offset``
+    (from :func:`index_xyz`)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        n = int(f.readline().strip())
+        f.readline()                   # comment
+        symbols, pos = [], []
+        for _ in range(n):
+            parts = f.readline().split()
+            symbols.append(parts[0].decode())
+            pos.append([float(x) for x in parts[1:4]])
+    return symbols, np.asarray(pos, np.float64)
+
+
 def write_xyz(path, symbols, pos, comment=" "):
     with open(path, "w") as f:
         f.write(f"{len(symbols)}\n{comment}\n")
@@ -98,6 +136,52 @@ def parse_pdb(path):
     if pos:
         frames.append((symbols, np.asarray(pos, np.float64), box))
     return frames
+
+
+def index_pdb(path):
+    """Byte-offset index of a (multi-model) PDB: list of ``(offset, natoms)``
+    per frame, where ``offset`` is the first ATOM/HETATM line of the frame
+    and frames are delimited exactly as :func:`parse_pdb` delimits them
+    (ENDMDL with accumulated atoms; trailing atoms form a final frame).
+    O(1) memory (see :func:`index_xyz`)."""
+    entries = []
+    start, natoms = None, 0
+    with open(path, "rb") as f:
+        while True:
+            off = f.tell()
+            line = f.readline()
+            if not line:
+                break
+            rec = line[:6].strip()
+            if rec in (b"ATOM", b"HETATM"):
+                if start is None:
+                    start = off
+                natoms += 1
+            elif rec == b"ENDMDL" and natoms:
+                entries.append((start, natoms))
+                start, natoms = None, 0
+    if natoms:
+        entries.append((start, natoms))
+    return entries
+
+
+def read_pdb_frame_at(path, offset):
+    """``(symbols, pos[N,3])`` of ONE PDB frame starting at byte ``offset``
+    (from :func:`index_pdb`); reads until ENDMDL/EOF."""
+    symbols, pos = [], []
+    with open(path, "rb") as f:
+        f.seek(offset)
+        for raw in f:
+            line = raw.decode("ascii", "replace")
+            rec = line[:6].strip()
+            if rec in ("ATOM", "HETATM"):
+                elem = line[76:78].strip() or line[12:16].strip()[:1]
+                symbols.append(elem.capitalize())
+                pos.append([float(line[30:38]), float(line[38:46]),
+                            float(line[46:54])])
+            elif rec == "ENDMDL" and pos:
+                break
+    return symbols, np.asarray(pos, np.float64)
 
 
 def write_pdb_model(fh, symbols, pos, box=None, model=1):

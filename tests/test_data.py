@@ -169,9 +169,11 @@ def test_prefetch_worker_exits_on_abandoned_iteration():
     assert threading.active_count() == n0
 
 
-def test_largemd_parses_trajectory_once(tmp_path, monkeypatch):
-    """LargeMDDataset caches the parsed frames: __len__ + every __getitem__
-    must not re-parse the file (startup was quadratic otherwise)."""
+def test_largemd_indexes_trajectory_once(tmp_path, monkeypatch):
+    """LargeMDDataset builds the streaming frame index exactly once:
+    __len__ + every __getitem__ + max_atoms must not re-scan the file
+    (startup was quadratic otherwise; .xyz streams via index_xyz now)."""
+    from enflow_tpu.data import formats as fm
     from enflow_tpu.data import readers
 
     xyz = tmp_path / "traj.xyz"
@@ -184,13 +186,13 @@ def test_largemd_parses_trajectory_once(tmp_path, monkeypatch):
                 f.write(f"{sym} {x:.4f} {y:.4f} {z:.4f}\n")
 
     calls = {"n": 0}
-    real = readers._frames_index
+    real = fm.index_xyz
 
     def counting(path):
         calls["n"] += 1
         return real(path)
 
-    monkeypatch.setattr(readers, "_frames_index", counting)
+    monkeypatch.setattr(fm, "index_xyz", counting)
     d = readers.LargeMDDataset(traj_file=str(xyz), r_cut=3.0,
                                box=[8.0, 8.0, 8.0])
     assert len(d) == 6
@@ -393,3 +395,91 @@ def test_dataloader_prefetch_matches_sync():
     loader = DataLoader(bad, batch_size=3, prefetch=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_xyz_index_matches_parse(tmp_path):
+    """index_xyz/read_xyz_frame_at reproduce parse_xyz frame-for-frame
+    (varying atom counts, blank separator lines)."""
+    path = str(tmp_path / "multi.xyz")
+    rng = np.random.default_rng(3)
+    with open(path, "w") as f:
+        for k, n in enumerate([4, 7, 4, 2]):
+            f.write(f"{n}\nframe {k}\n")
+            for a in range(n):
+                x, y, z = rng.normal(size=3)
+                f.write(f"C {x:.10g} {y:.10g} {z:.10g}\n")
+            if k == 1:
+                f.write("\n")               # stray blank line between frames
+    ref = formats.parse_xyz(path)
+    idx = formats.index_xyz(path)
+    assert len(idx) == len(ref) == 4
+    assert [n for _, n in idx] == [4, 7, 4, 2]
+    for (off, n), (sym_ref, pos_ref) in zip(idx, ref):
+        sym, pos = formats.read_xyz_frame_at(path, off)
+        assert sym == sym_ref
+        np.testing.assert_array_equal(pos, pos_ref)
+
+
+def test_pdb_index_matches_parse(tmp_path):
+    """index_pdb/read_pdb_frame_at reproduce parse_pdb's frame delimiting
+    (MODEL/ENDMDL blocks + a trailing frame without ENDMDL)."""
+    path = str(tmp_path / "multi.pdb")
+    rng = np.random.default_rng(4)
+    with open(path, "w") as f:
+        f.write("CRYST1   20.000   20.000   20.000  90.00  90.00  90.00 "
+                "P 1           1\n")
+        for k in range(3):
+            f.write(f"MODEL     {k + 1:4d}\n")
+            for i in range(5):
+                x, y, z = rng.uniform(0, 20, 3)
+                f.write("ATOM  %5d  C   UNK A   1    %8.3f%8.3f%8.3f"
+                        "  1.00  0.00           C\n" % (i + 1, x, y, z))
+            f.write("ENDMDL\n")
+        # trailing atoms with no ENDMDL form a final frame (parse_pdb rule)
+        for i in range(2):
+            f.write("ATOM  %5d  O   UNK A   1    %8.3f%8.3f%8.3f"
+                    "  1.00  0.00           O\n" % (i + 1, 1.0 * i, 2.0, 3.0))
+    ref = formats.parse_pdb(path)
+    idx = formats.index_pdb(path)
+    assert len(idx) == len(ref) == 4
+    assert [n for _, n in idx] == [5, 5, 5, 2]
+    for (off, n), (sym_ref, pos_ref, _box) in zip(idx, ref):
+        sym, pos = formats.read_pdb_frame_at(path, off)
+        assert sym == sym_ref
+        np.testing.assert_array_equal(pos, pos_ref)
+
+
+def test_largemd_streams_text_formats(tmp_path):
+    """LargeMDDataset streams .xyz at O(frame) RSS (VERDICT r2 item 6):
+    a multi-hundred-MB synthetic trajectory indexes + strided-reads inside
+    a small fixed memory budget, with per-frame values matching the
+    whole-file parser."""
+    import resource
+
+    from enflow_tpu.data.readers import LargeMDDataset
+
+    natoms, n_frames = 6000, 800
+    one = str(tmp_path / "one.xyz")
+    rng = np.random.default_rng(1)
+    pos0 = rng.normal(size=(natoms, 3))
+    formats.write_xyz(one, ["C"] * natoms, pos0, comment="c")
+    blob = open(one, "rb").read()
+    big = str(tmp_path / "big.xyz")
+    with open(big, "wb") as f:
+        for _ in range(n_frames):
+            f.write(blob)
+    size_mb = len(blob) * n_frames / 1e6
+    assert size_mb > 200, f"synthetic file only {size_mb:.0f} MB"
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB (linux)
+    ds = LargeMDDataset(traj_file=big, r_cut=2.0, atom_types=["C"],
+                        box=[50.0, 50.0, 50.0])
+    assert len(ds) == n_frames
+    assert ds.max_atoms == natoms          # O(1), from the index
+    for i in range(0, n_frames, 80):       # stride the whole file
+        s = ds[i]
+        assert s.pos.shape == (natoms, 3)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    growth_mb = (rss1 - rss0) / 1024.0
+    # whole-file caching would add >= file size in float lists (~600 MB)
+    assert growth_mb < 100, f"RSS grew {growth_mb:.0f} MB while streaming"

@@ -333,3 +333,77 @@ def test_resume_is_bit_exact(tmp_path, capsys):
     resumed = losses_of("resumed", [2, 2])
     np_.testing.assert_allclose(resumed, straight, rtol=0)
     del jax
+
+
+def test_validation_scales_to_streaming_trr(tmp_path, capsys, monkeypatch):
+    """A 100k-frame streaming TRR starts training in seconds with validation
+    ON (VERDICT r2 item 4): startup reads O(validate_max_frames) frames —
+    the capacity scan samples evenly and announces it, and the loader sizes
+    ``n_max`` from the frame index instead of re-reading the trajectory."""
+    import time
+
+    from enflow_tpu.data import formats, readers
+
+    natoms, n_frames = 13, 100_000
+    one = str(tmp_path / "one.trr")
+    rng = np.random.default_rng(0)
+    formats.write_trr(one, [{
+        "step": 0,
+        "pos": rng.uniform(0.0, 1.7, size=(natoms, 3)),
+        "vel": rng.normal(size=(natoms, 3)) * 0.1,
+        "box": np.diag([1.7, 1.7, 1.7]),
+    }])
+    blob = open(one, "rb").read()
+    big = str(tmp_path / "big.trr")
+    chunk = blob * 1000
+    with open(big, "wb") as f:
+        for _ in range(n_frames // 1000):
+            f.write(chunk)
+
+    reads = {"n": 0}
+    orig = readers._read_trr_frame
+
+    def counting(path, offset, na):
+        reads["n"] += 1
+        return orig(path, offset, na)
+
+    monkeypatch.setattr(readers, "_read_trr_frame", counting)
+
+    cfg = {
+        "mode": "train",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 1,
+        "dataset": {"type": "trr", "traj_file": big, "r_cut": 8.0,
+                    "atom_types": ["Ar"]},
+        "dynamics": {
+            "integrator": "lf", "n_iter": 1, "dt": 1,
+            "checkpoint_path": str(tmp_path / "big.cpt"),
+            "nbr_mode": "topk", "nbr_capacity": 12,
+            "network": {"hidden_nf": 8},
+        },
+        "training": {
+            "num_epochs": 1, "batch_size": 4, "lr": 1e-3,
+            "scheduler": False, "loss": {"temp": 300, "softening": 0.5},
+            "log_interval": 1,
+        },
+    }
+    path = str(tmp_path / "big.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    t0 = time.perf_counter()
+    m = Main()
+    m.setup(path)
+    elapsed = time.perf_counter() - t0
+    err = capsys.readouterr().err
+    assert "sampling 64 of 100000 frames" in err
+    assert "within capacity" in err
+    # frame reads during the whole setup stay O(max_frames): 64 sampled by
+    # the capacity scan plus a handful of probe reads (node_nf, first
+    # sample), NOT O(n_frames)
+    assert reads["n"] <= 80, reads["n"]
+    assert m.train_loader.n_max == natoms
+    # generous wall bound — the pre-fix behavior (two full-trajectory
+    # passes: 200k frame reads + Sample builds) takes minutes
+    assert elapsed < 60, f"setup took {elapsed:.1f}s"
