@@ -1,0 +1,53 @@
+"""Benchmark: LJ55 flow-proposal SMC throughput on one chip (large-N line).
+
+Frozen large-cluster companion to ``bench.py`` (VERDICT r2 item 5): the
+LJ13 headline cannot see large-N progress — cell lists, rematerialization
+and fused-kernel work only differentiate where the [P, N, N, H] edge
+tensors dominate. Workload: 1024 particles x 55 atoms x 16 temperatures,
+same 5-layer hidden-128 EGCL flow, HMC rejuvenation with gradients through
+the full flow (``example/sample_lj55.yaml`` scale; needs ``remat=True`` —
+without flow-step rematerialization the saved edge activations need ~36 GB
+HBM, RESULTS.md r1).
+
+Prints ONE JSON line like bench.py. Not the driver's headline metric —
+record the numbers in RESULTS.md each round alongside the LJ13 line.
+"""
+
+import json
+import time
+
+import jax
+
+import bench
+
+N_ATOMS = 55
+N_TEMPS = 16
+P_TPU = 1024
+P_CPU = 32
+
+
+def main():
+    run = bench.build(n_atoms=N_ATOMS, n_temps=N_TEMPS, remat=True)
+    dev = jax.devices()[0]
+    t0 = time.time()
+    rate, ess_rate, logz, dt, times = bench.timed_rate(run, P_TPU)
+    compile_s = time.time() - t0 - 3 * dt
+
+    print(json.dumps({
+        "metric": "lj55_flow_smc_samples_per_s_per_chip",
+        "value": round(rate, 2),
+        "unit": "samples/s",
+        "ess_per_s": round(ess_rate, 2),
+        "log_Z": round(logz, 3),
+        "wall_s_per_smc": round(dt, 3),
+        "wall_spread_s": [round(min(times), 3), round(max(times), 3)],
+        "particles": P_TPU,
+        "n_atoms": N_ATOMS,
+        "n_temps": N_TEMPS,
+        "compile_s": round(compile_s, 1),
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()
