@@ -114,6 +114,75 @@ def build(dtype=jnp.float32, compute_dtype="bfloat16", constrain=None,
     return run
 
 
+def build_batched(dtype=jnp.float32, compute_dtype="bfloat16",
+                  use_pallas=False, n_atoms=N_ATOMS, n_temps=N_TEMPS):
+    """Batched-density variant of :func:`build`: densities map ``[P, ...]``
+    pytrees to ``[P]`` values in ONE program and the SMC runs with
+    ``batched=True`` — the entry point for fused Pallas flow kernels
+    (``use_pallas='v2'/'v3'``), whose pallas_call must see the whole
+    particle batch (a vmapped B=1 call sees degenerate tiles).
+
+    A/B history at the frozen LJ13 config: pure-XLA vmapped 6081-6121
+    samples/s vs batched 5633-5644 (r1) — the vmapped anneal compiles
+    better for XLA densities, so :func:`build` stays the headline path;
+    this variant exists to measure fused kernels end-to-end.
+    """
+    from enflow_tpu.flow import FlowConfig, init_flow, forward_core, \
+        reverse_core
+    from enflow_tpu.nn.egcl import EGCLConfig
+    from enflow_tpu.data.system import System
+    from enflow_tpu.sample import smc, targets
+
+    cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
+                     egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
+                                     compute_dtype=compute_dtype,
+                                     use_pallas=use_pallas),
+                     nbr_mode="all_pairs", exact_ldj=True)
+    params = init_flow(jax.random.PRNGKey(0), cfg, dtype)
+    cluster = targets.lj_cluster(n_atoms, kBT=KBT)
+
+    def to_system(x):
+        P = x["h"].shape[0]
+        return System(h=x["h"], g=x["g"], pos=x["pos"], vel=x["vel"],
+                      mask=jnp.ones((P, n_atoms), bool),
+                      box=jnp.full((P, 3), 1e3, dtype),
+                      r_cut=jnp.full((P,), 1e2, dtype))
+
+    def gauss(sys_b):
+        tot = 0.0
+        for f in (sys_b.h, sys_b.g, sys_b.vel):
+            tot = tot + (f * f).sum(axis=tuple(range(1, f.ndim)))
+        return -0.5 * tot                                      # [P]
+
+    def log_q0(x):
+        out, ldj = forward_core(params, cfg, to_system(x))     # ldj [P]
+        return gauss(out) - 0.5 * (out.pos ** 2).sum(axis=(1, 2)) + ldj
+
+    def log_p(x):
+        return jax.vmap(cluster.log_prob)(x["pos"]) + gauss(to_system(x))
+
+    def propose(key, P):
+        ks = jax.random.split(key, 4)
+        z = {
+            "h": jax.random.normal(ks[0], (P, n_atoms, NODE_NF), dtype),
+            "g": jax.random.normal(ks[1], (P, n_atoms, NODE_NF), dtype),
+            "pos": jax.random.normal(ks[2], (P, n_atoms, 3), dtype),
+            "vel": jax.random.normal(ks[3], (P, n_atoms, 3), dtype),
+        }
+        sys_b, _ = reverse_core(params, cfg, to_system(z))
+        return {"h": sys_b.h, "g": sys_b.g, "pos": sys_b.pos,
+                "vel": sys_b.vel}
+
+    def run(key, P):
+        kp, ks = jax.random.split(key)
+        x0 = propose(kp, P)
+        return smc(ks, x0, log_q0=log_q0, log_p=log_p, n_temps=n_temps,
+                   mcmc_steps=MCMC_STEPS, step_size=0.02,
+                   n_leapfrog=N_LEAPFROG, batched=True)
+
+    return run
+
+
 # TPU compiler tuning (measured on v5e at the frozen config, round 2):
 # raising the scoped-VMEM budget to 32 MiB keeps more of the [P,169,128]
 # edge-tensor traffic between fusions in VMEM — 6.23k -> 6.45k samples/s

@@ -140,14 +140,18 @@ def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
         return ring_egcl(net_params, cfg.egcl, sys.h, sys.pos, sys.mask,
                          sys.box, sys.r_cut, cfg.axis_name,
                          nbr_mode=cfg.nbr_mode)
-    if cfg.egcl.use_pallas == "v2":
-        # v2 raw-state kernel (ops/egcl_fused.py); True/"v1" stays the
-        # edge-pipeline kernel inside apply_egcl (ops/edge_kernel.py)
+    if cfg.egcl.use_pallas in ("v2", "v3"):
+        # raw-state kernels (ops/egcl_fused.py / egcl_fused_v3.py);
+        # True/"v1" stays the edge-pipeline kernel inside apply_egcl
+        # (ops/edge_kernel.py)
         if cfg.nbr_mode != "all_pairs":
-            raise ValueError("use_pallas='v2' requires nbr_mode='all_pairs'")
+            raise ValueError(
+                f"use_pallas={cfg.egcl.use_pallas!r} requires "
+                "nbr_mode='all_pairs'")
         from ..nn.egcl import apply_egcl_fused_allpairs
         return apply_egcl_fused_allpairs(net_params, cfg.egcl, sys.h,
-                                         sys.pos, sys.box, sys.mask)
+                                         sys.pos, sys.box, sys.mask,
+                                         kernel=cfg.egcl.use_pallas)
     nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
                                     cfg.nbr_capacity, cfg.nbr_mode,
                                     cfg.cells_per_dim, cfg.cell_capacity)

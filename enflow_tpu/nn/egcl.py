@@ -54,6 +54,8 @@ class EGCLConfig:
     #   "v2": ops/egcl_fused.py — all-pairs only; starts from raw per-atom
     #     state so no [B,N,K,.] tensor ever touches HBM (dispatched by the
     #     flow integrators; requires nbr_mode == 'all_pairs').
+    #   "v3": ops/egcl_fused_v3.py — same contract as v2 with the
+    #     full-width edge-block design (no per-neighbor unroll).
     use_pallas: bool | str = False
 
     @property
@@ -203,8 +205,10 @@ def apply_egcl(params, cfg: EGCLConfig, h, coord_diff, nbr_idx, nbr_mask,
 
 
 def apply_egcl_fused_allpairs(params, cfg: EGCLConfig, h, pos, box,
-                              atom_mask, mol_tile=None):
-    """EGCL via the v2 fused all-pairs Pallas kernel (ops/egcl_fused.py).
+                              atom_mask, mol_tile=None, kernel="v2"):
+    """EGCL via a fused all-pairs Pallas kernel (``kernel``: "v2" =
+    ops/egcl_fused.py per-neighbor-unrolled, "v3" = ops/egcl_fused_v3.py
+    full-width edge block).
 
     Takes raw per-atom state — no ``[B,N,K,·]`` displacement/edge tensors are
     ever materialized in HBM. Requires ``nbr_mode == 'all_pairs'`` semantics
@@ -212,7 +216,11 @@ def apply_egcl_fused_allpairs(params, cfg: EGCLConfig, h, pos, box,
     silently ignore those branches). Same ``(Q, F, G)`` contract as
     :func:`apply_egcl`.
     """
-    from ..ops.egcl_fused import fused_allpairs_edges
+    if kernel == "v3":
+        from ..ops.egcl_fused_v3 import \
+            fused_allpairs_edges_v3 as fused_allpairs_edges
+    else:
+        from ..ops.egcl_fused import fused_allpairs_edges
 
     if cfg.attention or cfg.norm_diff or cfg.tanh:
         raise ValueError(

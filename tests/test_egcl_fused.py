@@ -1,4 +1,5 @@
-"""Parity tests for the v2 fused all-pairs EGCL kernel (ops/egcl_fused.py).
+"""Parity tests for the fused all-pairs EGCL kernels (ops/egcl_fused.py v2,
+ops/egcl_fused_v3.py v3 — parametrized over both).
 
 Runs the actual Pallas kernel code in interpret mode on CPU, comparing
 values and gradients against the XLA reference path (``apply_egcl`` on the
@@ -46,18 +47,20 @@ def _xla_qfg(params, cfg, h, pos, box, r_cut, mask):
                       all_pairs=True)
 
 
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
 @pytest.mark.parametrize("pbc", [False, True])
-def test_fused_matches_xla_f32(pbc):
+def test_fused_matches_xla_f32(pbc, kernel):
     cfg, params, h, pos, box, r_cut, mask = _setup(pbc=pbc)
     Qx, Fx, Gx = _xla_qfg(params, cfg, h, pos, box, r_cut, mask)
     Qf, Ff, Gf = apply_egcl_fused_allpairs(params, cfg, h, pos, box, mask,
-                                           mol_tile=TILE)
+                                           mol_tile=TILE, kernel=kernel)
     np.testing.assert_allclose(Qf, Qx, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(Ff, Fx, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(Gf, Gx, rtol=2e-5, atol=2e-6)
 
 
-def test_fused_grads_match_xla_f32():
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
+def test_fused_grads_match_xla_f32(kernel):
     cfg, params, h, pos, box, r_cut, mask = _setup()
     w = [jax.random.normal(jax.random.PRNGKey(9 + i), s)
          for i, s in enumerate([(B, N, 1), (B, N, 3), (B, N, NF)])]
@@ -68,7 +71,7 @@ def test_fused_grads_match_xla_f32():
 
     def loss_fused(params, h, pos):
         Q, F, G = apply_egcl_fused_allpairs(params, cfg, h, pos, box, mask,
-                                            mol_tile=TILE)
+                                            mol_tile=TILE, kernel=kernel)
         return (Q * w[0]).sum() + (F * w[1]).sum() + (G * w[2]).sum()
 
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, h, pos)
@@ -80,19 +83,21 @@ def test_fused_grads_match_xla_f32():
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-6)
 
 
-def test_fused_bf16_close():
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
+def test_fused_bf16_close(kernel):
     cfg, params, h, pos, box, r_cut, mask = _setup()
     cfg = EGCLConfig(node_nf=NF, hidden_nf=H, compute_dtype="bfloat16")
     Qx, Fx, Gx = _xla_qfg(params, cfg, h, pos, box, r_cut, mask)
     Qf, Ff, Gf = apply_egcl_fused_allpairs(params, cfg, h, pos, box, mask,
-                                           mol_tile=TILE)
+                                           mol_tile=TILE, kernel=kernel)
     for a, b in [(Qf, Qx), (Ff, Fx), (Gf, Gx)]:
         assert a.dtype == b.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.15, atol=0.05)
 
 
-def test_fused_bf16_grads_close():
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
+def test_fused_bf16_grads_close(kernel):
     """Backward kernel under compute_dtype='bfloat16' (the documented
     wide-hidden production regime) tracks the XLA bf16 path."""
     cfg, params, h, pos, box, r_cut, mask = _setup()
@@ -107,7 +112,7 @@ def test_fused_bf16_grads_close():
         argnums=(0, 1, 2))(params, h, pos)
     gf = jax.grad(lambda p_, h_, x_: loss(
         apply_egcl_fused_allpairs(p_, cfg, h_, x_, box, mask,
-                                  mol_tile=TILE)),
+                                  mol_tile=TILE, kernel=kernel)),
         argnums=(0, 1, 2))(params, h, pos)
     for a, b in zip(jax.tree_util.tree_leaves(gf),
                     jax.tree_util.tree_leaves(gx)):
@@ -117,29 +122,32 @@ def test_fused_bf16_grads_close():
                                    rtol=0.2, atol=0.05)
 
 
-def test_fused_rejects_unsupported_config():
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
+def test_fused_rejects_unsupported_config(kernel):
     cfg, params, h, pos, box, r_cut, mask = _setup()
     cfg_att = EGCLConfig(node_nf=NF, hidden_nf=H, attention=True)
     with pytest.raises(ValueError, match="attention"):
-        apply_egcl_fused_allpairs(params, cfg_att, h, pos, box, mask)
+        apply_egcl_fused_allpairs(params, cfg_att, h, pos, box, mask,
+                                  kernel=kernel)
     cfg_f64 = EGCLConfig(node_nf=NF, hidden_nf=H)
     with pytest.raises(ValueError, match="float64"):
         apply_egcl_fused_allpairs(
             jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), params),
             cfg_f64, h.astype(jnp.float64), pos.astype(jnp.float64),
-            box.astype(jnp.float64), mask)
+            box.astype(jnp.float64), mask, kernel=kernel)
 
 
-def test_fused_in_flow_forward_reverse():
-    """Flow-level dispatch: use_pallas='v2' + all_pairs routes to the fused
-    raw-state kernel and stays exactly invertible."""
+@pytest.mark.parametrize("kernel", ["v2", "v3"])
+def test_fused_in_flow_forward_reverse(kernel):
+    """Flow-level dispatch: use_pallas='v2'/'v3' + all_pairs routes to the
+    fused raw-state kernel and stays exactly invertible."""
     from enflow_tpu.flow import FlowConfig, init_flow, forward_core, \
         reverse_core
     from enflow_tpu.data.system import System
 
     cfg = FlowConfig(
         n_iter=2, dt=0.05,
-        egcl=EGCLConfig(node_nf=NF, hidden_nf=H, use_pallas="v2"),
+        egcl=EGCLConfig(node_nf=NF, hidden_nf=H, use_pallas=kernel),
         nbr_mode="all_pairs")
     params = init_flow(jax.random.PRNGKey(0), cfg, jnp.float32)
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
