@@ -36,9 +36,23 @@ same contract as the v2 kernel (``use_pallas: "v3"`` dispatches here from
 the flow integrators). Interpret mode off-TPU so tests exercise the same
 kernel code on CPU.
 
-Measured on v5e (see RESULTS.md round 3): the regime study vs XLA and the
-bench A/B are recorded there; keep this module's header in sync with the
-verdicts.
+Measured verdict (v5 lite, round 3 — chained-scan harness, ms per EGCL
+application; full table + ablation split in RESULTS.md):
+
+    B=1024 N=13 H=128   xla fwd 0.327  fwd+bwd 1.444 | v3 0.867  3.369
+    B=256  N=55 H=256   xla fwd 2.236  fwd+bwd 14.12 | v3 4.503  19.88
+
+XLA wins every regime. The structural reason (quantified by ablation:
+replication machinery 0.45 ms + narrow geometry 0.37 ms vs 0.33 ms for
+XLA's ENTIRE fused fwd): XLA's fused broadcasts make neighbor replication
+free, while the MXU cannot read broadcasts — any kernel formulation must
+materialize [E, .] operands, and that machinery alone costs more than the
+pipeline it feeds. The narrow [E,3]/[E,1] geometry ops cost one vector
+instruction per 8 sublanes regardless of lane occupancy, so they are
+~15 wide-op equivalents in any row-major edge-block design. What v3 DOES
+fix vs v2 is compile time (no unroll): N=55 compiles in 7-34 s vs 861 s /
+>29 min. Kept opt-in (``use_pallas: "v3"``) as the kernel to revisit if a
+much wider nf/H regime makes the MLP dominate materialization.
 """
 
 from __future__ import annotations
@@ -181,7 +195,10 @@ def _fwd_kernel(T, N, nf, H, node_cat_ref, box_ref, Rif_ref, Rjf_ref,
         W1a_ref, W1b_ref, w1r_ref, b1_ref, W2_ref, b2_ref, W3_ref, b3_ref,
         w4_ref)
     agg_ref[:] = _dot_t(Ric_ref[:], m2, cdt)[None]  # sum over j -> [R8, H]
-    fsum_ref[:] = _dot_t(Ri, trans, cdt)[None]      # [R8, 3] (narrow, f32)
+    # trans aggregation in the compute dtype: the XLA path also sums the
+    # (clipped, bf16) trans over K in bf16; an f32 contraction here costs
+    # ~4x the MXU passes for no extra parity
+    fsum_ref[:] = _dot_t(Ric_ref[:], trans.astype(cdt), cdt)[None]
 
 
 def _bwd_kernel(T, N, nf, H, node_cat_ref, box_ref, Rif_ref, Rjf_ref,
@@ -202,7 +219,7 @@ def _bwd_kernel(T, N, nf, H, node_cat_ref, box_ref, Rif_ref, Rjf_ref,
     # edge-level cotangents: agg = Ri^T m2, fsum = Ri^T trans
     Ri_c, Rj_c = Ric_ref[:], Rjc_ref[:]
     d_m2_agg = _dot(Ri_c, dagg_ref[0].astype(cdt), cdt)         # [E, H]
-    d_trans = _dot(Ri, dfsum_ref[0].astype(f32), f32)           # [E, 3]
+    d_trans = _dot(Ri_c, dfsum_ref[0].astype(cdt), f32)         # [E, 3]
 
     trans_raw = cd * gate
     inside = ((trans_raw >= -100.0) & (trans_raw <= 100.0)).astype(f32)
@@ -227,7 +244,9 @@ def _bwd_kernel(T, N, nf, H, node_cat_ref, box_ref, Rif_ref, Rjf_ref,
     dh_ref[:] = (_dot(dz1_i.astype(cdt), W1aT_ref[:], f32)
                  + _dot(dz1_j.astype(cdt), W1bT_ref[:],
                         f32)).astype(cdt)[None]
-    dpos_ref[:] = (_dot_t(Ri, d_cd) - _dot_t(Rj, d_cd))[None]   # f32
+    d_cd_c = d_cd.astype(cdt)
+    dpos_ref[:] = (_dot_t(Ri_c, d_cd_c)
+                   - _dot_t(Rj_c, d_cd_c))[None]    # f32 accum of cdt terms
 
     # parameter grads, accumulated across the sequential grid
     p = pl.program_id(0)

@@ -1291,6 +1291,14 @@ class Main:
             print(f"sampled {flat['pos'].shape[0]} draws "
                   f"({n_samples} sweeps x {C} chains, {algo}) -> {out_path}"
                   f"  {stats}", flush=True)
+            csv_path = sec.get("metrics_csv")
+            if csv_path:
+                from ..utils.observe import MetricsLogger
+                logger = MetricsLogger(csv_path)
+                logger.log(algo=algo, n_chains=C, n_samples=n_samples,
+                           **{k: float(np.asarray(v))
+                              for k, v in extra_info.items()})
+                logger.close()
         return samples
 
     def _sample_remc(self, sec, propose, log_q0, log_p, M):
