@@ -1458,6 +1458,23 @@ class Main:
                   f"swap_accept=[{sa.min():.2f},{sa.max():.2f}]  "
                   f"hmc_accept={float(np.asarray(res.accept)[-1]):.2f}"
                   f"{mb}", flush=True)
+            csv_path = sec.get("metrics_csv")
+            if csv_path:
+                # one row per ladder slot: beta, HMC accept, swap accept
+                # with the next-hotter slot (diagnoses a pinched ladder at
+                # a glance — the failure mode of the r1 wedged-REMC run)
+                from ..utils.observe import MetricsLogger
+                logger = MetricsLogger(csv_path)
+                bet = np.asarray(res.betas)
+                acc = np.asarray(res.accept)
+                for k in range(K):
+                    logger.log(slot=k, beta=float(bet[k]),
+                               hmc_accept=float(acc[k]),
+                               swap_accept=(float(sa[k]) if k < K - 1
+                                            else ""),
+                               mbar_log_Z=(mbar_out.get("mbar_log_Z", "")
+                                           if k == K - 1 else ""))
+                logger.close()
         return res
 
     # ------------------------------------------------------------------

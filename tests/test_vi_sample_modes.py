@@ -323,6 +323,7 @@ def test_sample_mode_remc(tmp_path, capsys):
             "n_leapfrog": 3,
             "mbar": True,
             "output": str(tmp_path / "remc.npz"),
+            "metrics_csv": str(tmp_path / "remc_metrics.csv"),
             "target": {"type": "gaussian", "n_atoms": 5, "std": 0.5,
                        "kBT": 1.0},
         },
@@ -330,6 +331,14 @@ def test_sample_mode_remc(tmp_path, capsys):
     run_main(tmp_path, sample_cfg, "remc.yaml")
     out = capsys.readouterr().out
     assert "swap_accept=" in out
+    # per-slot ladder diagnostics in the CSV: beta/hmc_accept/swap_accept
+    rows = (tmp_path / "remc_metrics.csv").read_text().strip().splitlines()
+    assert len(rows) == 1 + 3                       # header + one per slot
+    hdr = rows[0].split(",")
+    i_b, i_a = hdr.index("beta"), hdr.index("hmc_accept")
+    assert [float(r.split(",")[i_b]) for r in rows[1:]] == \
+        sorted(float(r.split(",")[i_b]) for r in rows[1:])
+    assert all(0.0 <= float(r.split(",")[i_a]) <= 1.0 for r in rows[1:])
     assert "mbar_log_Z=" in out
     data = np.load(tmp_path / "remc.npz")
     assert data["pos"].shape == (10, 16, 5, 3)     # kept rounds x M x N x 3
