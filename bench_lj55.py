@@ -11,6 +11,12 @@ HBM, RESULTS.md r1).
 
 Prints ONE JSON line like bench.py. Not the driver's headline metric —
 record the numbers in RESULTS.md each round alongside the LJ13 line.
+
+NOTE the quality fields (ess_per_s, log_Z) are degenerate by design here:
+the untrained proposal collapses the N=55 anneal to one ancestor
+(ESS trivially = P). This is a pure THROUGHPUT line — for meaningful LJ55
+sampling quality run example/vi_lj55.yaml then sample_lj55.yaml from the
+checkpoint (measured r3: per-stage ESS 58-742/1024, RESULTS.md).
 """
 
 import json
