@@ -41,6 +41,8 @@ application; full table + ablation split in RESULTS.md):
 
     B=1024 N=13 H=128   xla fwd 0.327  fwd+bwd 1.444 | v3 0.867  3.369
     B=256  N=55 H=256   xla fwd 2.236  fwd+bwd 14.12 | v3 4.503  19.88
+    nf=128 (wide)       xla fwd 0.461  fwd+bwd 2.484 | v3 0.880  3.001
+    nf=256 (wide)       xla fwd 0.990  fwd+bwd 5.153 | v3 1.405  5.242
 
 XLA wins every regime. The structural reason (quantified by ablation:
 replication machinery 0.45 ms + narrow geometry 0.37 ms vs 0.33 ms for
@@ -51,8 +53,10 @@ pipeline it feeds. The narrow [E,3]/[E,1] geometry ops cost one vector
 instruction per 8 sublanes regardless of lane occupancy, so they are
 ~15 wide-op equivalents in any row-major edge-block design. What v3 DOES
 fix vs v2 is compile time (no unroll): N=55 compiles in 7-34 s vs 861 s /
->29 min. Kept opt-in (``use_pallas: "v3"``) as the kernel to revisit if a
-much wider nf/H regime makes the MLP dominate materialization.
+>29 min. The wide-nf sweep shows the
+gap closing monotonically as real compute amortizes materialization
+(fwd+bwd 2.3x at nf=5 -> 1.017x at nf=256) WITHOUT crossing — parity is
+the asymptote, not a win. Kept opt-in (``use_pallas: "v3"``).
 """
 
 from __future__ import annotations
