@@ -14,9 +14,10 @@ v3 removes both (the CLAUDE.md round-2 sketch):
 
 - ONE edge-row block per grid program: ``E = T*N*N`` rows, e = (t, i, j)
   i-major. Node state is replicated to edge rows by two 0/1 matmuls
-  (``Ri``: rows repeat i-side, ``Rj``: j-side), built in-kernel from iota
-  compares — the *narrow* [T*N, nf+4] node concat is replicated (~1.3M
-  MACs at T=8), never a hidden-wide tensor.
+  (``Ri``: rows repeat i-side, ``Rj``: j-side), precomputed host-side and
+  passed as constant-index-map inputs (``_repl_mats``) — the *narrow*
+  [T*N, nf+4] node concat is replicated (~1.3M MACs at T=8), never a
+  hidden-wide tensor.
 - Every hidden-wide matmul (edge layers 1/2, gate 1/2) runs full-width
   over all E rows — one MXU pass each per program instead of N narrow
   passes. Aggregations back to nodes are single ``R^T @ X`` contractions
