@@ -16,7 +16,10 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import sys
 import time
+from typing import NamedTuple
 
 import numpy as np
 
@@ -192,14 +195,61 @@ def build_batched(dtype=jnp.float32, compute_dtype="bfloat16",
 TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 
-def timed_rate(run, P, repeats=3, check=None, tpu_opts=True):
+class RateResult(NamedTuple):
+    """``timed_rate`` output (rate fields per second; times in seconds)."""
+
+    rate: float          # particles / s
+    ess_rate: float      # final-stage ESS / s
+    log_Z: float
+    dt: float            # pipelined wall seconds per SMC run
+    times: list          # individually-synced repeat spread
+    compile_s: float     # measured compile (+trace) time
+    flops: float = None  # XLA cost-model FLOPs per program execution
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache for the bench harnesses (VERDICT r3
+    item 6): the LJ55 program costs ~400 s to compile per invocation; with
+    the cache the recompile is paid once per code change. Opt out with
+    ``ENFLOW_BENCH_CACHE=0``; cache dir overridable via
+    ``ENFLOW_BENCH_CACHE_DIR`` (default /tmp/enflow_xla_cache)."""
+    if os.environ.get("ENFLOW_BENCH_CACHE", "1") == "0":
+        return
+    d = os.environ.get("ENFLOW_BENCH_CACHE_DIR", "/tmp/enflow_xla_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # min_compile_time MUST be 0 on the axon (remote-compile) backend:
+        # the client-side compile-duration measurement the filter uses
+        # reads ~0 there, so any positive threshold silently caches
+        # NOTHING (measured r4: a 135 s LJ13 compile wrote no entry at
+        # threshold 10 s; at 0 it cached and a fresh process reused it).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:        # backend without serialization support
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
+
+def timed_rate(run, P, repeats=3, check=None, tpu_opts=True,
+               spread_repeats=2) -> RateResult:
+    t_start = time.perf_counter()
     fn = jax.jit(lambda k: run(k, P))
+    compile_s = None
+    flops = None
     if tpu_opts and jax.devices()[0].platform not in ("cpu", "gpu"):
         lowered = fn.lower(jax.random.PRNGKey(1))
         compiled = lowered.compile(compiler_options=TPU_COMPILER_OPTIONS)
         fn = compiled
-    res = fn(jax.random.PRNGKey(1))          # compile + warm
+        compile_s = time.perf_counter() - t_start   # measured directly
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None                            # backend w/o cost model
+    res = fn(jax.random.PRNGKey(1))          # (compile +) warm
     jax.block_until_ready(res.particles)
+    t_warm = time.perf_counter() - t_start
     if check is not None:
         check(res)                           # e.g. sharding sanity (bench_scaling)
     # headline timing: all repeats dispatched async, ONE sync at the end —
@@ -211,10 +261,14 @@ def timed_rate(run, P, repeats=3, check=None, tpu_opts=True):
         res = fn(jax.random.PRNGKey(2 + i))
     jax.block_until_ready(res.particles)
     dt = (time.perf_counter() - t0) / repeats
+    if compile_s is None:
+        # no explicit compile step: first call was compile + one execution
+        compile_s = max(0.0, t_warm - dt)
     # repeat spread (VERDICT r2 item 7): separately-synced single runs —
-    # slightly slower than the pipelined headline by construction
+    # slightly slower than the pipelined headline by construction.
+    # spread_repeats=0/1 keeps the CPU-baseline leg cheap (ADVICE r3).
     times = []
-    for i in range(2):
+    for i in range(spread_repeats):
         t1 = time.perf_counter()
         r2_ = fn(jax.random.PRNGKey(2 + i))
         jax.block_until_ready(r2_.particles)
@@ -225,7 +279,32 @@ def timed_rate(run, P, repeats=3, check=None, tpu_opts=True):
     assert float(res.beta_history[-1]) > 1.0 - 1e-5, (
         f"anneal incomplete: beta={float(res.beta_history[-1]):.3f}")
     ess = float(res.ess_history[-1])
-    return P / dt, ess / dt, float(res.log_Z), dt, times
+    return RateResult(P / dt, ess / dt, float(res.log_Z), dt, times,
+                      compile_s, flops)
+
+
+# dense bf16 peak FLOP/s by device generation (MXU matmul peak; the MFU
+# denominator). v5e ("v5 lite"): 197 TFLOP/s bf16.
+_PEAK_BF16 = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+              "v4": 275e12, "v6": 918e12}
+
+
+def flops_fields(r: RateResult, dev):
+    """MFU/TFLOP-rate JSON fields (VERDICT r3 items 3/8a) from the XLA cost
+    model of the compiled program. Empty when the backend exposes no cost
+    analysis. NOTE the FLOP count is the *algorithmic* HLO tally — useful
+    for round-over-round tracking and a roofline sanity number, not a
+    hand-derived operation count."""
+    if not r.flops:
+        return {}
+    out = {"program_gflop": round(r.flops / 1e9, 1),
+           "tflop_per_s": round(r.flops / r.dt / 1e12, 2)}
+    s = str(dev).lower()
+    for k, peak in _PEAK_BF16.items():
+        if k in s:
+            out["mfu_vs_bf16_peak"] = round(r.flops / r.dt / peak, 4)
+            break
+    return out
 
 
 def _cpu_model():
@@ -240,11 +319,10 @@ def _cpu_model():
 
 
 def main():
-    import os
-
+    enable_compilation_cache()
     run = build()
     dev = jax.devices()[0]
-    tpu_rate, tpu_ess_rate, logz, dt, tpu_times = timed_rate(run, P_TPU)
+    r = timed_rate(run, P_TPU)
 
     # host-CPU baseline of the same program (per-particle rate).
     # NOTE the ratio is CPU-HOST-DEPENDENT (421x on an 8-core r1 host, 654x
@@ -257,10 +335,12 @@ def main():
         with jax.default_device(cpu[0]):
             # fair baseline: f32 on CPU (bf16 is emulated and slow there);
             # 3 repeats — a single P=64 CPU repeat made the denominator of
-            # the headline ratio noisy (VERDICT r1)
-            cpu_rate, _, _, _, cpu_times = timed_rate(
-                build(compute_dtype=None), P_CPU, repeats=3, tpu_opts=False)
-        vs_baseline = tpu_rate / cpu_rate
+            # the headline ratio noisy (VERDICT r1); spread_repeats=1 keeps
+            # the already-slow CPU leg bounded (ADVICE r3)
+            rc = timed_rate(build(compute_dtype=None), P_CPU, repeats=3,
+                            tpu_opts=False, spread_repeats=1)
+            cpu_times = rc.times
+        vs_baseline = r.rate / rc.rate
     else:
         vs_baseline = 1.0
 
@@ -269,16 +349,18 @@ def main():
 
     print(json.dumps({
         "metric": "lj13_flow_smc_samples_per_s_per_chip",
-        "value": round(tpu_rate, 2),
+        "value": round(r.rate, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs_baseline, 2),
-        "ess_per_s": round(tpu_ess_rate, 2),
-        "log_Z": round(logz, 3),
-        "wall_s_per_smc": round(dt, 3),
-        "wall_spread_s": spread(tpu_times),
+        "ess_per_s": round(r.ess_rate, 2),
+        "log_Z": round(r.log_Z, 3),
+        "wall_s_per_smc": round(r.dt, 3),
+        "wall_spread_s": spread(r.times),
+        "compile_s": round(r.compile_s, 1),
         "particles": P_TPU,
         "n_temps": N_TEMPS,
         "device": str(dev),
+        **flops_fields(r, dev),
         "cpu_host": {
             "model": _cpu_model(),
             "cores": os.cpu_count(),

@@ -40,8 +40,7 @@ def sharded_rate(n_dev):
         assert n_holding == n_dev, (
             f"particles not sharded: on {n_holding}/{n_dev} devices")
 
-    rate, _, _, _, _ = bench.timed_rate(run, Pn, check=check_sharded)
-    return rate
+    return bench.timed_rate(run, Pn, check=check_sharded).rate
 
 
 def main():

@@ -145,7 +145,13 @@ class LargeMDDataset(BaseDataset):
 
     def _frames(self):
         if not hasattr(self, "_frame_cache"):
-            self._frame_cache = _frames_index(self.input_params["traj_file"])
+            # per-frame source path kept alongside (pos, vel): unit scales
+            # are per-FILE, and traj_file may be a list of mixed formats
+            # (ADVICE r3 item 3)
+            self._frame_cache = [
+                (path, pos, vel)
+                for path in _listify(self.input_params["traj_file"])
+                for pos, vel in _iter_traj(path)]
         return self._frame_cache
 
     def _is_streaming(self):
@@ -153,17 +159,19 @@ class LargeMDDataset(BaseDataset):
         return all(p.endswith(self._STREAM_EXTS) for p in paths)
 
     def _frame_at(self, idx):
-        """(pos, vel) of one frame — streamed per-format, cached for .gro."""
+        """(path, pos, vel) of one frame — streamed per-format, cached for
+        .gro. The path identifies the source file so callers derive
+        per-frame native units (mixed-format file lists)."""
         if self._is_streaming():
             path, offset, natoms = _stream_entries(self)[idx]
             if path.endswith(".trr"):
                 fr = _read_trr_frame(path, offset, natoms)
-                return fr["pos"], fr["vel"]
+                return path, fr["pos"], fr["vel"]
             if path.endswith(".xyz"):
                 _, pos = formats.read_xyz_frame_at(path, offset)
             else:
                 _, pos = formats.read_pdb_frame_at(path, offset)
-            return pos, None
+            return path, pos, None
         return self._frames()[idx]
 
     def _symbols(self, natoms):
@@ -192,11 +200,10 @@ class LargeMDDataset(BaseDataset):
         return super().max_atoms
 
     def __getitem__(self, idx):
-        traj = self.input_params["traj_file"]
         dist_unit = self.input_params.get("dist_unit", "ang")
         time_unit = self.input_params.get("time_unit", "pico")
-        pos, vel = self._frame_at(idx)
-        file_d, file_t = _traj_units(traj)
+        path, pos, vel = self._frame_at(idx)
+        file_d, file_t = _traj_units(path)
         z = self._symbols(pos.shape[0])
         return self._get_sample(
             z, pos * _dist_scale(file_d, dist_unit),
@@ -356,7 +363,3 @@ def _iter_traj(path):
         _, pos, vel, _ = formats.parse_gro(path)
         return [(pos, vel)]
     raise ValueError(f"unsupported trajectory format: {path}")
-
-
-def _frames_index(path):
-    return _iter_traj(path)

@@ -116,6 +116,43 @@ def ring_alchemical_lj(pos_blk, mask_blk, softening, axis_name: str):
     return 0.5 * jax.lax.psum(energy, axis_name)
 
 
+def ring_pair_terms(pos_blk, mask_blk, axis_name: str, term_fn):
+    """Generic atom-sharded unordered-pair reduction.
+
+    ``pos_blk [B, n_blk, 3]`` / ``mask_blk [B, n_blk]`` are this shard's atom
+    blocks. ``term_fn(d2 [B, bi, bj], valid [B, bi, bj]) -> [B]`` evaluates
+    and sums a pair term over the valid entries of one block pair; ``valid``
+    already excludes padded atoms and self-pairs (the diagonal of the s == 0
+    rotation), so ``term_fn`` only adds its own physics (coincident-pair
+    guards, cutoffs). Ordered pairs accumulate over the ``ppermute`` ring and
+    are halved — exactly the dense i<j sum for any symmetric term.
+
+    This is the building block for atom-sharded sampler *targets*
+    (``sample/targets.py: Target.log_prob_sharded``) — the same ring pattern
+    as :func:`ring_alchemical_lj`, with the pair formula injected.
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    nb = pos_blk.shape[1]
+    eye = jnp.eye(nb, dtype=bool)[None]
+
+    def step(s, carry):
+        acc, pos_j, mask_j = carry
+        diff = pos_blk[:, :, None, :] - pos_j[:, None, :, :]
+        d2 = (diff * diff).sum(-1)
+        valid = mask_blk[:, :, None] & mask_j[:, None, :]
+        valid = valid & ~jnp.where(s == 0, eye, jnp.zeros_like(eye))
+        acc = acc + term_fn(d2, valid)
+        pos_j = jax.lax.ppermute(pos_j, axis_name, perm)
+        mask_j = jax.lax.ppermute(mask_j, axis_name, perm)
+        return acc, pos_j, mask_j
+
+    # zero carry derived from the input (varying-axes typing, see above)
+    zero = 0.0 * pos_blk[:, 0, 0]
+    acc, _, _ = jax.lax.fori_loop(0, n_dev, step, (zero, pos_blk, mask_blk))
+    return 0.5 * jax.lax.psum(acc, axis_name)
+
+
 def make_sharded_lj_energy(mesh: Mesh, axis: str = "atom"):
     """Build a jitted sharded energy: ``f(pos [N,3], mask [N], box, softening,
     cutoff) -> scalar`` with ``N`` divided over ``mesh[axis]``."""

@@ -1,0 +1,190 @@
+"""Atom-axis-sharded flow-proposal sampling: the (chain x atom) 2-D mesh.
+
+The last sharded program family of the scaling story (VERDICT r3 item 1):
+``Main.sample()``'s dense path vmaps per-particle densities and can shard
+only the *chain* axis — a large-N molecule (LJ55 and up, or the reference's
+2,944-atom generate-scale fluid as a flow-SMC target, reference
+``example/generate.yaml:8-15``) is confined to one device because the flow
+forward and the target energy are O(N^2) on the atom axis (reference
+``enflow/flow/loss.py:14``, ``enflow/data/base.py:135``).
+
+Here the particle pytree leaves ``[P, N, ...]`` shard BOTH ways: particles
+over ``chain`` (GSPMD turns SMC's resampling gathers and weight logsumexps
+into collectives, as in the dense path) and atoms over ``atom`` — the
+densities become ``shard_map`` bodies running the ring EGCL flow
+(``parallel/ring.py`` via ``FlowConfig.axis_name``) and ring pair-term
+targets (``Target.log_prob_sharded``), O(N^2 / P_atom) compute per device
+with ``ppermute`` block rotations riding the ICI. HMC rejuvenation
+differentiates straight through the shard_map (autodiff-compatible, pinned
+by tests/test_sharded_flow.py), so the whole SMC/AIS anneal is one jitted
+2-D-sharded program.
+
+Composition contract: the builders return *batched* densities
+(``[P, ...] pytree -> [P]``) for ``smc/ais(batched=True)`` — the batched
+path exists exactly for densities whose internals need the full particle
+block at once (``sample/smc.py`` docstring), which a shard_map body does.
+
+Atom counts that do not divide the atom-axis size are padded to ``n_pad``
+with masked atoms: padded coordinates are excluded from every density term
+(they random-walk under HMC drift, which cancels exactly in the MH
+acceptance since they feel no force), and callers trim ``[:, :n_atoms]``
+before writing output. With ``mesh=None`` the same builder returns the
+dense-batched equivalents (no shard_map) — the parity oracle for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.system import System
+from ..flow.integrators import FlowConfig, forward_core, reverse_core
+from ..flow.sharded import _sharded_cfg
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def make_sample_fns(params, cfg: FlowConfig, target, n_atoms: int,
+                    node_nf: int, dtype, box: float, r_cut: float,
+                    mesh: Mesh | None = None, chain_axis: str = "data",
+                    atom_axis: str = "atom", n_pad: int | None = None):
+    """Build batched sampling callables for ``smc/ais(batched=True)``.
+
+    Returns ``(propose, log_q0, log_p, n_pad)``:
+      propose(key, n) -> particle pytree ``{h, g, pos, vel}`` with leaves
+        ``[n, n_pad, ...]`` — flow pushforward of latent Gaussian draws
+        (atoms beyond ``n_atoms`` are masked padding, drawn as zeros).
+      log_q0(x) -> ``[P]`` flow-proposal log density (exact ldj forced).
+      log_p(x) -> ``[P]`` target log density + Gaussian auxiliaries.
+
+    With ``mesh``: leaves shard ``P(chain_axis, atom_axis)`` and every
+    density is a shard_map body (ring EGCL flow + ``target.log_prob_sharded``
+    ring pair terms). Without: plain dense-batched functions of identical
+    values (the test oracle). ``n_pad`` (optional) forces the padded atom
+    count — used by the dense oracle to mirror a padded sharded run.
+    """
+    if mesh is not None:
+        n_shards = mesh.shape[atom_axis]
+        n_pad = n_pad or _round_up(n_atoms, n_shards)
+        if n_pad % n_shards:
+            raise ValueError(f"n_pad={n_pad} must divide over the "
+                             f"{atom_axis} axis ({n_shards})")
+        if target.log_prob_sharded is None:
+            raise NotImplementedError(
+                f"target {target.name!r} has no atom-sharded density "
+                "(Target.log_prob_sharded) — atom-axis sampling supports "
+                "lj_cluster / double_well / gaussian targets")
+        cfg = _sharded_cfg(dataclasses.replace(cfg, exact_ldj=True),
+                           atom_axis)
+        axis = atom_axis
+    else:
+        n_pad = n_pad or n_atoms
+        cfg = dataclasses.replace(cfg, exact_ldj=True)
+        axis = None
+
+    def _psum(v):
+        return jax.lax.psum(v, axis) if axis else v
+
+    def _sys(x, mask):
+        B = x["h"].shape[0]
+        return System(
+            h=x["h"], g=x["g"], pos=x["pos"], vel=x["vel"], mask=mask,
+            box=jnp.full((B, 3), box, dtype),
+            r_cut=jnp.full((B,), r_cut, dtype))
+
+    def _gauss(fields, mask):
+        """-1/2 sum of squares over real atoms, ``[B]`` (psummed)."""
+        tot = 0.0
+        for f in fields:
+            tot = tot + (jnp.where(mask[..., None], f, 0.0) ** 2).sum(
+                axis=(1, 2))
+        return -0.5 * _psum(tot)
+
+    # ---- bodies (dense arrays, or per-shard blocks inside shard_map) ----
+
+    def q0_body(p, x, mask):
+        out, ldj = forward_core(p, cfg, _sys(x, mask))
+        return _gauss((out.h, out.g, out.vel, out.pos), mask) + ldj
+
+    def p_body(x, mask):
+        if axis:
+            lp = target.log_prob_sharded(x["pos"], mask, axis)
+        else:
+            # padded atoms sit beyond n_atoms — slice them off for the
+            # dense per-configuration density
+            lp = jax.vmap(lambda pp: target.log_prob(pp[:n_atoms]))(x["pos"])
+        return lp + _gauss((x["h"], x["g"], x["vel"]), mask)
+
+    def rev_body(p, z, mask):
+        s, _ = reverse_core(p, cfg, _sys(z, mask))
+        return {"h": s.h, "g": s.g, "pos": s.pos, "vel": s.vel}
+
+    # ---- public callables ----
+
+    if mesh is None:
+        def mask_for(x):
+            return jnp.broadcast_to(jnp.arange(n_pad) < n_atoms,
+                                    x["pos"].shape[:2])
+
+        def log_q0(x):
+            return q0_body(params, x, mask_for(x))
+
+        def log_p(x):
+            return p_body(x, mask_for(x))
+
+        def run_reverse(z):
+            return rev_body(params, z, mask_for(z))
+
+        constrain = lambda t: t
+    else:
+        pa = P(chain_axis, atom_axis)
+        xspecs = {"h": pa, "g": pa, "pos": pa, "vel": pa}
+        q0_sm = jax.shard_map(q0_body, mesh=mesh,
+                              in_specs=(P(), xspecs, pa),
+                              out_specs=P(chain_axis))
+        p_sm = jax.shard_map(p_body, mesh=mesh, in_specs=(xspecs, pa),
+                             out_specs=P(chain_axis))
+        rev_sm = jax.shard_map(rev_body, mesh=mesh,
+                               in_specs=(P(), xspecs, pa), out_specs=xspecs)
+
+        def mask_for(x):
+            # materialized [P, n_pad] with the full (chain, atom) spec so
+            # every shard_map operand has identical varying-axes typing
+            m = jnp.broadcast_to(jnp.arange(n_pad) < n_atoms,
+                                 x["pos"].shape[:2])
+            return jax.lax.with_sharding_constraint(
+                m, NamedSharding(mesh, pa))
+
+        def log_q0(x):
+            return q0_sm(params, x, mask_for(x))
+
+        def log_p(x):
+            return p_sm(x, mask_for(x))
+
+        def run_reverse(z):
+            return rev_sm(params, z, mask_for(z))
+
+        def constrain(t):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, pa)), t)
+
+    def propose(key, n):
+        """Flow pushforward of ``n`` latent draws (same draw order/shapes as
+        the dense driver path when ``n_pad == n_atoms``, so seeds match)."""
+        ks = jax.random.split(key, 4)
+        z = {"h": jax.random.normal(ks[0], (n, n_pad, node_nf), dtype),
+             "g": jax.random.normal(ks[1], (n, n_pad, node_nf), dtype),
+             "pos": jax.random.normal(ks[2], (n, n_pad, 3), dtype),
+             "vel": jax.random.normal(ks[3], (n, n_pad, 3), dtype)}
+        if n_pad > n_atoms:
+            pad = (jnp.arange(n_pad) < n_atoms)[None, :, None]
+            z = {k: jnp.where(pad, v, 0.0) for k, v in z.items()}
+        return run_reverse(constrain(z))
+
+    return propose, log_q0, log_p, n_pad

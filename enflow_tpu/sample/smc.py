@@ -164,69 +164,23 @@ def _adapted_step(step_size, accept, target_accept, gain: float = 1.0):
     return step_size * jnp.exp(gain * (accept - target_accept))
 
 
-def smc(key, x0, *, log_q0: Callable, log_p: Callable,
-        n_temps: int = 10, betas=None, adaptive: bool = False,
-        target_ess_frac: float = 0.6, mcmc_steps: int = 2,
-        step_size=0.05, n_leapfrog: int = 5,
-        resample_threshold: float = 0.5,
-        adapt_step: bool = False, target_accept: float = 0.65,
-        precondition: bool = False,
-        batched: bool = False) -> SMCResult:
-    """Tempered SMC from proposal samples to the target.
-
-    Args:
-      x0: particle pytree with leading axis ``[P, ...]`` drawn from the
-        proposal (e.g. flow samples via ``flow.reverse_core``).
-      log_q0 / log_p: per-particle proposal / target log-density callables
-        (for flow proposals, ``log_q0`` runs the forward flow; see
-        ``flow.reverse_core`` docstring).
-      betas: optional ``[n_temps]`` schedule (default linear, ending at 1).
-      adaptive: pick each temperature increment by bisection so the
-        incremental ESS stays at ``target_ess_frac * P`` (``n_temps``
-        becomes the maximum; once beta reaches 1, remaining steps are
-        extra MCMC refinement sweeps).
-      mcmc_steps: HMC rejuvenation sweeps per temperature.
-      resample_threshold: resample when ESS < threshold * P.
-      adapt_step: adapt the HMC step size between temperatures from the
-        measured mean acceptance (multiplicative log-space update toward
-        ``target_accept``); ``step_size`` becomes the initial value. The
-        update happens outside the MH kernels, so per-temperature
-        correctness is unaffected.
-      precondition: diagonal mass-matrix preconditioning — per-coordinate
-        momentum scales set to the particle-ensemble std at each
-        temperature (standard adaptive-SMC practice; fixed within a
-        temperature's MH sweeps). Helps anisotropic targets where one
-        global step size either stalls the wide directions or rejects on
-        the narrow ones.
-      batched: ``log_q0``/``log_p`` are *batched* — they map the full
-        ``[P, ...]`` particle pytree to ``[P]`` log-densities in one program
-        (gradients via one ones-cotangent VJP). Use for densities whose
-        internals *require* the whole particle batch at once, e.g. flows
-        running the fused Pallas EGCL kernel (a vmapped B=1 ``pallas_call``
-        would see degenerate tiles). For pure-XLA densities prefer the
-        default vmapped path: A/B on v5e at the LJ13 bench workload measured
-        vmapped SMC ~8% faster end-to-end (6081 vs 5640 samples/s), even
-        though the isolated batched flow forward is faster — XLA compiles
-        the vmapped anneal better.
-
-    Returns ``SMCResult``; ``log_Z`` estimates ``log(Z_p / Z_q0)``.
-    ``exp(log_Z)`` is unbiased for the ratio, so by Jensen ``log_Z`` itself
-    is biased LOW, increasingly so for poorly-mixed anneals — measured on
-    LJ13: 9.6 (untrained flow, 8 temps) -> 12.6 (weak flow, adaptive) ->
-    16.3 (trained flow, 40 temps x 6 sweeps) vs ~17.7 from MBAR over an
-    equilibrated REMC ladder (the asymptotically unbiased estimator; use
-    ``sampling.mbar`` for free energies, SMC ``log_Z`` as a lower bound).
-    """
-    P = jax.tree_util.tree_leaves(x0)[0].shape[0]
+def _schedule(n_temps, betas):
+    """(betas, betas_prev) for the anneal scan (default linear to 1)."""
     if betas is None:
         betas = jnp.linspace(1.0 / n_temps, 1.0, n_temps)
     else:
         betas = jnp.asarray(betas)
-        n_temps = betas.shape[0]
     betas_prev = jnp.concatenate([jnp.zeros((1,), betas.dtype), betas[:-1]])
+    return betas, betas_prev
 
-    lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
-        log_q0, log_p, x0, mcmc_steps, batched)
+
+def _make_anneal_step(log_q0, log_p, *, P, adaptive, target_ess_frac,
+                      mcmc_steps, n_leapfrog, resample_threshold, adapt_step,
+                      target_accept, precondition, batched):
+    """The per-temperature SMC transition ``(carry, (beta, beta_prev, key))
+    -> (carry, (ess, accept, beta, eps))`` — one function shared by the
+    monolithic scan (:func:`smc`) and the chunked segment runner
+    (:func:`smc_segments`), so chunked == monolithic bitwise."""
 
     def anneal_step(carry, inputs):
         (x, log_w, log_z, beta_carry, eps,
@@ -284,6 +238,77 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
                  lq0_x, lp_x, glq0_x, glp_x),
                 (ess, acc, beta, eps))
 
+    return anneal_step
+
+
+def smc(key, x0, *, log_q0: Callable, log_p: Callable,
+        n_temps: int = 10, betas=None, adaptive: bool = False,
+        target_ess_frac: float = 0.6, mcmc_steps: int = 2,
+        step_size=0.05, n_leapfrog: int = 5,
+        resample_threshold: float = 0.5,
+        adapt_step: bool = False, target_accept: float = 0.65,
+        precondition: bool = False,
+        batched: bool = False) -> SMCResult:
+    """Tempered SMC from proposal samples to the target.
+
+    Args:
+      x0: particle pytree with leading axis ``[P, ...]`` drawn from the
+        proposal (e.g. flow samples via ``flow.reverse_core``).
+      log_q0 / log_p: per-particle proposal / target log-density callables
+        (for flow proposals, ``log_q0`` runs the forward flow; see
+        ``flow.reverse_core`` docstring).
+      betas: optional ``[n_temps]`` schedule (default linear, ending at 1).
+      adaptive: pick each temperature increment by bisection so the
+        incremental ESS stays at ``target_ess_frac * P`` (``n_temps``
+        becomes the maximum; once beta reaches 1, remaining steps are
+        extra MCMC refinement sweeps).
+      mcmc_steps: HMC rejuvenation sweeps per temperature.
+      resample_threshold: resample when ESS < threshold * P.
+      adapt_step: adapt the HMC step size between temperatures from the
+        measured mean acceptance (multiplicative log-space update toward
+        ``target_accept``); ``step_size`` becomes the initial value. The
+        update happens outside the MH kernels, so per-temperature
+        correctness is unaffected.
+      precondition: diagonal mass-matrix preconditioning — per-coordinate
+        momentum scales set to the particle-ensemble std at each
+        temperature (standard adaptive-SMC practice; fixed within a
+        temperature's MH sweeps). Helps anisotropic targets where one
+        global step size either stalls the wide directions or rejects on
+        the narrow ones.
+      batched: ``log_q0``/``log_p`` are *batched* — they map the full
+        ``[P, ...]`` particle pytree to ``[P]`` log-densities in one program
+        (gradients via one ones-cotangent VJP). Use for densities whose
+        internals *require* the whole particle batch at once, e.g. flows
+        running the fused Pallas EGCL kernel (a vmapped B=1 ``pallas_call``
+        would see degenerate tiles). For pure-XLA densities prefer the
+        default vmapped path: A/B on v5e at the LJ13 bench workload measured
+        vmapped SMC ~8% faster end-to-end (6081 vs 5640 samples/s), even
+        though the isolated batched flow forward is faster — XLA compiles
+        the vmapped anneal better.
+
+    Returns ``SMCResult``; ``log_Z`` estimates ``log(Z_p / Z_q0)``.
+    ``exp(log_Z)`` is unbiased for the ratio, so by Jensen ``log_Z`` itself
+    is biased LOW, increasingly so for poorly-mixed anneals — measured on
+    LJ13: 9.6 (untrained flow, 8 temps) -> 12.6 (weak flow, adaptive) ->
+    16.3 (trained flow, 40 temps x 6 sweeps) vs ~17.7 from MBAR over an
+    equilibrated REMC ladder (the asymptotically unbiased estimator; use
+    ``sampling.mbar`` for free energies, SMC ``log_Z`` as a lower bound).
+    """
+    P = jax.tree_util.tree_leaves(x0)[0].shape[0]
+    if betas is not None:
+        n_temps = jnp.asarray(betas).shape[0]
+    betas, betas_prev = _schedule(n_temps, betas)
+
+    lq0_0, lp_0, glq0_0, glp_0 = _init_component_caches(
+        log_q0, log_p, x0, mcmc_steps, batched)
+
+    anneal_step = _make_anneal_step(
+        log_q0, log_p, P=P, adaptive=adaptive,
+        target_ess_frac=target_ess_frac, mcmc_steps=mcmc_steps,
+        n_leapfrog=n_leapfrog, resample_threshold=resample_threshold,
+        adapt_step=adapt_step, target_accept=target_accept,
+        precondition=precondition, batched=batched)
+
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
     ((x, log_w, log_z, *_),
@@ -296,6 +321,101 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
                      beta_history=beta_hist, step_history=step_hist)
+
+
+def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
+                 n_temps: int = 10, betas=None, adaptive: bool = False,
+                 target_ess_frac: float = 0.6, mcmc_steps: int = 2,
+                 step_size=0.05, n_leapfrog: int = 5,
+                 resample_threshold: float = 0.5,
+                 adapt_step: bool = False, target_accept: float = 0.65,
+                 precondition: bool = False, batched: bool = False,
+                 chunk_temps: int = 4, run_segment=None, on_segment=None,
+                 start_stage: int = 0, init_state=None,
+                 init_hists=None) -> SMCResult:
+    """:func:`smc` executed as bounded per-program segments with the carry
+    held on the host between them (VERDICT r3 item 4 — fault-tolerant long
+    runs).
+
+    One monolithic jitted anneal loses everything when the device faults
+    mid-execution (observed: a ~35 s 64-temp LJ55 program died with
+    ``UNAVAILABLE: TPU device error``, RESULTS.md r3). Here at most
+    ``chunk_temps`` temperatures run per program; between segments the
+    host holds the full SMC state, so a caller can retry a failed segment
+    (``run_segment``) or persist the state (``on_segment``) and resume a
+    killed run (``start_stage``/``init_state``/``init_hists``).
+
+    Bitwise equality with :func:`smc` (same key): the segment scans apply
+    the identical ``_make_anneal_step`` transition to the identical
+    ``(betas, betas_prev, keys)`` slices — pinned by
+    tests/test_sample.py::test_smc_segments_matches_monolithic.
+
+    Extra args over :func:`smc`:
+      chunk_temps: max temperatures per jitted program (the "modest stage
+        budget" policy; <=0 means one segment).
+      run_segment: optional executor ``f(fn, *args) -> fn(*args)`` wrapping
+        every device dispatch (init + segments) — the hook where the driver
+        injects retry-on-``UNAVAILABLE``.
+      on_segment: optional callback ``(next_stage, state, hists)`` after
+        each completed segment; ``state`` is the host-held carry and
+        ``hists`` the per-stage history tuples so far (checkpointing hook).
+      start_stage / init_state / init_hists: resume a run from a stage
+        checkpoint (as captured by ``on_segment``); ``x0`` may be None then.
+    """
+    if init_state is not None:
+        P = init_state[1].shape[0]
+    else:
+        P = jax.tree_util.tree_leaves(x0)[0].shape[0]
+    if betas is not None:
+        n_temps = jnp.asarray(betas).shape[0]
+    betas, betas_prev = _schedule(n_temps, betas)
+    keys = jax.random.split(key, n_temps)
+    if chunk_temps <= 0:
+        chunk_temps = n_temps
+    run = run_segment or (lambda f, *a: f(*a))
+
+    anneal_step = _make_anneal_step(
+        log_q0, log_p, P=P, adaptive=adaptive,
+        target_ess_frac=target_ess_frac, mcmc_steps=mcmc_steps,
+        n_leapfrog=n_leapfrog, resample_threshold=resample_threshold,
+        adapt_step=adapt_step, target_accept=target_accept,
+        precondition=precondition, batched=batched)
+
+    @jax.jit
+    def init_fn(x0):
+        caches = _init_component_caches(log_q0, log_p, x0, mcmc_steps,
+                                        batched)
+        init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
+        return (x0, init_w, jnp.zeros((), betas.dtype),
+                jnp.zeros((), betas.dtype),
+                jnp.asarray(step_size, betas.dtype)) + caches
+
+    @jax.jit
+    def seg_fn(carry, xs):
+        return jax.lax.scan(anneal_step, carry, xs)
+
+    if init_state is None:
+        state = run(init_fn, x0)
+    else:
+        state = init_state
+    hists = list(init_hists) if init_hists else []
+    i = int(start_stage)
+    while i < n_temps:
+        j = min(i + chunk_temps, n_temps)
+        state, hist = run(seg_fn, state,
+                          (betas[i:j], betas_prev[i:j], keys[i:j]))
+        # materialize on host before declaring the segment survived
+        jax.block_until_ready(state[1])
+        hists.append(hist)
+        if on_segment is not None:
+            on_segment(j, state, hists)
+        i = j
+
+    cat = lambda k: jnp.concatenate([h[k] for h in hists])
+    x, log_w, log_z = state[0], state[1], state[2]
+    return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
+                     ess_history=cat(0), accept_history=cat(1),
+                     beta_history=cat(2), step_history=cat(3))
 
 
 def ais(key, x0, *, log_q0: Callable, log_p: Callable,

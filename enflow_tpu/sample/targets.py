@@ -8,13 +8,21 @@ the particle/chain axis.
 Conventions: reduced units, unit particle mass; cluster targets add a
 harmonic center-of-mass restraint (standard in the equivariant-flow
 literature for LJn clusters, which are otherwise translation-unbound).
+
+Atom-sharded sampling (``parallel.atom_axis`` in sample mode): targets that
+support it also carry ``log_prob_sharded(pos_blk, mask_blk, axis_name) ->
+[B]`` — a *batched* per-shard body executing inside ``shard_map`` with the
+atom axis sharded, built on the ``ppermute`` ring pair reduction
+(``parallel/pairwise.py: ring_pair_terms``). Values match the dense
+``log_prob`` to float round-off (pinned by tests/test_sharded_sample.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..sim.potentials import lj_energy
@@ -23,11 +31,18 @@ from ..flow.loss import alchemical_log_px
 
 @dataclasses.dataclass(frozen=True)
 class Target:
-    """A Boltzmann target: ``log_prob(x)`` for one configuration ``x``."""
+    """A Boltzmann target: ``log_prob(x)`` for one configuration ``x``.
+
+    ``log_prob_sharded`` (optional): batched atom-sharded variant for
+    shard_map bodies — ``(pos_blk [B, n_blk, 3], mask_blk [B, n_blk],
+    axis_name) -> [B]`` with per-shard partial sums psummed over
+    ``axis_name``. None when the target has no sharded implementation.
+    """
 
     log_prob: Callable
     dim: tuple
     name: str = "target"
+    log_prob_sharded: Optional[Callable] = None
 
 
 def regularize_energy(u, e_high):
@@ -83,7 +98,46 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
             u = regularize_energy(u, e_cap)
         return -u / kBT
 
-    return Target(log_prob=log_prob, dim=(n, 3), name=f"lj{n}")
+    def log_prob_sharded(pos_blk, mask_blk, axis_name,
+                         softening=softening, e_cap=e_cap):
+        """Atom-sharded batched body (see Target docstring). Mirrors the
+        dense branches EXACTLY — including the sigma-aware unsoftened path
+        and the coincident-pair guard of the softened path — so dense and
+        sharded sample runs agree to reduction-order round-off."""
+        from ..parallel.pairwise import ring_pair_terms
+
+        m = mask_blk[..., None]
+        n_real = jax.lax.psum(mask_blk.sum(axis=1), axis_name)
+        n_real = n_real.astype(pos_blk.dtype)                       # [B] == n
+        com = (jax.lax.psum(jnp.where(m, pos_blk, 0.0).sum(axis=1), axis_name)
+               / n_real[:, None])                                   # [B, 3]
+        static_soft = isinstance(softening, (int, float))
+        if static_soft and softening == 0.0:
+            def term(d2, valid):
+                # lj_energy semantics (sim/potentials.py:61-69): no
+                # coincident-pair exclusion — a real coincident pair is inf
+                inv2 = jnp.where(valid,
+                                 (sigma * sigma) / jnp.where(valid, d2, 1.0),
+                                 0.0)
+                inv6 = inv2 * inv2 * inv2
+                e = 4.0 * epsilon * (inv6 * inv6 - inv6)
+                return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
+        else:
+            def term(d2, valid):
+                valid = valid & ((d2 > 0.0) | (jnp.asarray(softening) > 0.0))
+                r_sq = jnp.where(valid, d2, 1.0) + softening
+                r6 = r_sq * r_sq * r_sq
+                e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
+                return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
+        u = ring_pair_terms(pos_blk, mask_blk, axis_name, term)
+        osc = jnp.where(m, pos_blk - com[:, None, :], 0.0)
+        u = u + c_osc * jax.lax.psum((osc * osc).sum(axis=(1, 2)), axis_name)
+        if e_cap is not None:
+            u = regularize_energy(u, e_cap)
+        return -u / kBT
+
+    return Target(log_prob=log_prob, dim=(n, 3), name=f"lj{n}",
+                  log_prob_sharded=log_prob_sharded)
 
 
 def double_well(n: int = 4, dim: int = 2, kBT: float = 1.0, a: float = 0.0,
@@ -101,7 +155,19 @@ def double_well(n: int = 4, dim: int = 2, kBT: float = 1.0, a: float = 0.0,
         u = a * dd + b * dd**2 + c * dd**4
         return -jnp.where(iu, u, 0.0).sum() / (tau * kBT)
 
-    return Target(log_prob=log_prob, dim=(n, dim), name=f"dw{n}")
+    def log_prob_sharded(pos_blk, mask_blk, axis_name):
+        from ..parallel.pairwise import ring_pair_terms
+
+        def term(d2, valid):
+            dd = jnp.sqrt(d2 + 1e-12) - d0
+            u = a * dd + b * dd**2 + c * dd**4
+            return jnp.where(valid, u, 0.0).sum(axis=(1, 2))
+
+        return (-ring_pair_terms(pos_blk, mask_blk, axis_name, term)
+                / (tau * kBT))
+
+    return Target(log_prob=log_prob, dim=(n, dim), name=f"dw{n}",
+                  log_prob_sharded=log_prob_sharded)
 
 
 def gaussian(shape, std: float = 1.0) -> Target:
@@ -110,7 +176,12 @@ def gaussian(shape, std: float = 1.0) -> Target:
     def log_prob(x):
         return -0.5 * ((x / std) ** 2).sum()
 
-    return Target(log_prob=log_prob, dim=tuple(shape), name="gaussian")
+    def log_prob_sharded(pos_blk, mask_blk, axis_name):
+        s = (jnp.where(mask_blk[..., None], pos_blk / std, 0.0) ** 2)
+        return -0.5 * jax.lax.psum(s.sum(axis=(1, 2)), axis_name)
+
+    return Target(log_prob=log_prob, dim=tuple(shape), name="gaussian",
+                  log_prob_sharded=log_prob_sharded)
 
 
 def alchemical_base(kBT: float, softening: float,

@@ -1016,9 +1016,6 @@ class Main:
         one-line summary."""
         from ..data.system import System
         from ..flow.integrators import forward_core, reverse_core
-        from ..sample import ais as ais_fn
-        from ..sample import smc as smc_fn
-        from ..sample.smc import ess_from_log_weights
 
         sec = self.args["sampling"]
         target, n_atoms = self._build_pos_target(sec["target"])
@@ -1031,6 +1028,32 @@ class Main:
         cfg = dataclasses.replace(self.flow_cfg, exact_ldj=True)
         params, dtype = self.params, self.dtype
         node_nf = self.node_nf
+        algo_name = str(sec.get("algo", "smc")).lower()
+        n_pad = n_atoms
+
+        if self.atom_axis > 1:
+            # atom-sharded sampling (VERDICT r3 item 1): (chain x atom) 2-D
+            # mesh — particles over 'data' (the chain axis), atoms over
+            # 'atom'. Densities are shard_map bodies (ring EGCL flow +
+            # ring pair-term target) fed to smc/ais(batched=True); see
+            # sample/sharded.py.
+            if algo_name not in ("smc", "ais"):
+                raise NotImplementedError(
+                    f"sampling.algo={algo_name!r} with parallel.atom_axis > 1"
+                    " — atom-sharded sampling supports smc | ais")
+            from ..sample.sharded import make_sample_fns
+            n_chain = int(self.mesh.shape["data"])
+            if P % n_chain:
+                raise ValueError(
+                    f"sampling.n_particles={P} must be divisible by the "
+                    f"chain axis ({n_chain} = devices / atom_axis "
+                    f"{self.atom_axis})")
+            propose, log_q0, log_p, n_pad = make_sample_fns(
+                params, self.flow_cfg, target, n_atoms, node_nf, dtype,
+                box, r_cut, mesh=self.mesh)
+            return self._run_smc_ais(sec, algo_name, propose, log_q0, log_p,
+                                     P, n_atoms, n_pad, batched=True)
+
         mask = jnp.ones((1, n_atoms), bool)
         boxa = jnp.full((1, 3), box, dtype)
         r_cuta = jnp.full((1,), r_cut, dtype)
@@ -1088,7 +1111,6 @@ class Main:
 
             return jax.vmap(rev_one)(z)
 
-        algo_name = str(sec.get("algo", "smc")).lower()
         if algo_name == "remc":
             return self._sample_remc(sec, propose, log_q0, log_p, P)
         if algo_name in ("hmc", "nuts", "mala"):
@@ -1097,6 +1119,19 @@ class Main:
             raise ValueError(
                 f"sampling.algo={algo_name!r}; expected one of "
                 "smc | ais | remc | hmc | nuts | mala")
+        return self._run_smc_ais(sec, algo_name, propose, log_q0, log_p, P,
+                                 n_atoms, n_pad, batched=False)
+
+    def _run_smc_ais(self, sec, algo_name, propose, log_q0, log_p, P,
+                     n_atoms, n_pad, batched):
+        """Jit + run the SMC/AIS anneal and write outputs. ``batched`` selects
+        the batched-density path (atom-sharded runs; the per-particle vmapped
+        densities stay the dense default — see sample/smc.py docstring).
+        Particles carry ``n_pad`` atoms; outputs are trimmed to ``n_atoms``."""
+        from ..sample import ais as ais_fn
+        from ..sample import smc as smc_fn
+        from ..sample.smc import ess_from_log_weights
+
         algo = smc_fn if algo_name == "smc" else ais_fn
 
         extra = {}
@@ -1104,22 +1139,35 @@ class Main:
             extra = dict(adaptive=bool(sec.get("adaptive", False)),
                          target_ess_frac=float(sec.get("target_ess_frac",
                                                        0.6)))
+        knobs = dict(log_q0=log_q0, log_p=log_p,
+                     n_temps=int(sec.get("n_temps", 10)),
+                     mcmc_steps=int(sec.get("mcmc_steps", 1)),
+                     step_size=float(sec.get("step_size", 0.02)),
+                     n_leapfrog=int(sec.get("n_leapfrog", 5)),
+                     adapt_step=bool(sec.get("adapt_step", False)),
+                     target_accept=float(sec.get("target_accept", 0.65)),
+                     precondition=bool(sec.get("precondition", False)),
+                     batched=batched, **extra)
 
-        @jax.jit
-        def run(key):
-            kp, ks = jax.random.split(key)
-            x0 = propose(kp)
-            return algo(ks, x0, log_q0=log_q0, log_p=log_p,
-                        n_temps=int(sec.get("n_temps", 10)),
-                        mcmc_steps=int(sec.get("mcmc_steps", 1)),
-                        step_size=float(sec.get("step_size", 0.02)),
-                        n_leapfrog=int(sec.get("n_leapfrog", 5)),
-                        adapt_step=bool(sec.get("adapt_step", False)),
-                        target_accept=float(sec.get("target_accept", 0.65)),
-                        precondition=bool(sec.get("precondition", False)),
-                        **extra)
+        n_retries = 0
+        chunk = int(sec.get("chunk_temps", 0))
+        ckpt_every = int(sec.get("checkpoint_every", 0))
+        if chunk > 0 or ckpt_every > 0:
+            if algo_name != "smc":
+                raise NotImplementedError(
+                    "sampling.chunk_temps / checkpoint_every support "
+                    "algo: smc (ais carries per-particle weights across "
+                    "every stage — chunk the SMC variant instead)")
+            res, n_retries = self._run_smc_chunked(
+                sec, propose, P, knobs, chunk or ckpt_every, ckpt_every)
+        else:
+            @jax.jit
+            def run(key):
+                kp, ks = jax.random.split(key)
+                x0 = propose(kp, P)
+                return algo(ks, x0, **knobs)
 
-        res = run(jax.random.PRNGKey(self.seed + 31))
+            res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.particles)
         if self.num_processes > 1:
             # gather shards so every process holds full host copies (the
@@ -1143,37 +1191,187 @@ class Main:
         ess = float(ess_from_log_weights(res.log_weights))
         out_path = sec.get("output", "samples.npz")
 
+        # trim atom-axis padding (atom-sharded runs pad N to the mesh
+        # multiple; padded slots are masked noise, not samples)
+        parts = {k: np.asarray(v) for k, v in res.particles.items()}
+        if n_pad > n_atoms:
+            parts = {k: v[:, :n_atoms] for k, v in parts.items()}
+
         # force-field targets: attach dihedral observables + phi/psi
         # free-energy profiles (importance-weighted) to the output
         lw = np.asarray(res.log_weights)
         w = np.exp(lw - lw.max())
-        extra_out = self._ff_extras(np.asarray(res.particles["pos"]),
-                                    w / w.sum(), sec)
+        extra_out = self._ff_extras(parts["pos"], w / w.sum(), sec)
 
         if self.is_main:
             np.savez(out_path,
-                     pos=np.asarray(res.particles["pos"]),
-                     vel=np.asarray(res.particles["vel"]),
-                     h=np.asarray(res.particles["h"]),
-                     g=np.asarray(res.particles["g"]),
+                     pos=parts["pos"],
+                     vel=parts["vel"],
+                     h=parts["h"],
+                     g=parts["g"],
                      log_weights=np.asarray(res.log_weights),
                      log_Z=np.asarray(res.log_Z),
                      ess_history=np.asarray(res.ess_history),
                      **({"beta_history": np.asarray(res.beta_history)}
                         if res.beta_history is not None else {}),
                      **extra_out)
+            retr = f"  retries={n_retries}" if n_retries else ""
             print(f"sampled {P} particles -> {out_path}  "
                   f"log_Z={float(res.log_Z):.3f}  final_ESS={ess:.1f}  "
-                  f"accept={float(res.accept_history[-1]):.2f}", flush=True)
+                  f"accept={float(res.accept_history[-1]):.2f}{retr}",
+                  flush=True)
             # observability (VERDICT r2 item 8): per-stage anneal diagnostics
             # into a CSV like training-mode loss rows — long sampling runs
             # are otherwise opaque until the final npz lands
-            self._log_sample_stages(sec, res)
+            self._log_sample_stages(sec, res, n_retries)
         return res
 
-    def _log_sample_stages(self, sec, res):
+    # -- fault-tolerant (chunked) SMC execution: VERDICT r3 item 4 --------
+
+    def _run_smc_chunked(self, sec, propose, P, knobs, chunk, ckpt_every):
+        """Run the SMC anneal as bounded per-program segments with the state
+        held on the host between them (``sample/smc.py: smc_segments``).
+
+        - ``sampling.chunk_temps``: max temperatures per jitted program (the
+          "modest stage budgets" policy from the r3 tunnel-fault hazard note,
+          now in code — RESULTS.md r3 records a ~35 s monolithic program
+          dying with ``UNAVAILABLE: TPU device error``).
+        - One automatic retry per dispatch on UNAVAILABLE-class device
+          errors (the observed fault was transient; the chip was healthy
+          immediately after). Retries are counted in the summary line and
+          metrics CSV.
+        - ``sampling.checkpoint_every``: stage cadence for persisting the
+          host-held state to ``<output>.state.npz``; a killed run resumes
+          from the last checkpoint bitwise-identically (keys/betas are
+          deterministic from the seed). Single-process only (the state
+          would need an allgather per segment otherwise).
+
+        Chunked == monolithic bitwise for the same seed (pinned by
+        tests/test_sample.py::test_smc_segments_matches_monolithic and the
+        driver-level test in test_vi_sample_modes).
+        """
+        from ..sample.smc import smc_segments
+
+        n_temps = knobs["n_temps"]
+        retries = {"n": 0}
+
+        def run_segment(f, *a):
+            for attempt in (0, 1):
+                try:
+                    out = f(*a)
+                    jax.block_until_ready(out)
+                    return out
+                except Exception as e:           # jaxlib XlaRuntimeError
+                    if "UNAVAILABLE" not in str(e) or attempt:
+                        raise
+                    retries["n"] += 1
+                    eprint(f"device UNAVAILABLE mid-segment ({e}); "
+                           "retrying once", flush=True)
+
+        if ckpt_every and self.num_processes > 1:
+            eprint("sampling.checkpoint_every is single-process only; "
+                   "stage checkpoints disabled (chunking still active)",
+                   flush=True)
+            ckpt_every = 0
+
+        state_file = sec.get("state_file") or (
+            str(sec.get("output", "samples.npz")) + ".state.npz")
+        start_stage, init_state, init_hists = 0, None, None
+        if ckpt_every and sec.get("resume", True) and \
+                os.path.exists(state_file):
+            start_stage, init_state, init_hists = \
+                self._load_sample_state(state_file)
+            eprint(f"resuming sampling at stage {start_stage} from "
+                   f"{state_file}", flush=True)
+
+        saved = {"last": start_stage}
+
+        def on_segment(j, state, hists):
+            if not ckpt_every or j == n_temps:
+                return
+            if j // ckpt_every > saved["last"] // ckpt_every:
+                self._save_sample_state(state_file, j, state, hists)
+                saved["last"] = j
+
+        key = jax.random.PRNGKey(self.seed + 31)
+        kp, ks = jax.random.split(key)
+        x0 = None
+        if init_state is None:
+            x0 = run_segment(jax.jit(lambda k: propose(k, P)), kp)
+        res = smc_segments(ks, x0, chunk_temps=chunk,
+                           run_segment=run_segment, on_segment=on_segment,
+                           start_stage=start_stage, init_state=init_state,
+                           init_hists=init_hists, **knobs)
+        if ckpt_every and self.is_main and os.path.exists(state_file):
+            os.remove(state_file)       # completed runs must not resume
+        if retries["n"] and self.is_main:
+            eprint(f"sampling survived {retries['n']} device retr"
+                   f"{'y' if retries['n'] == 1 else 'ies'}", flush=True)
+        return res, retries["n"]
+
+    def _save_sample_state(self, path, stage, state, hists):
+        """Persist the host-held SMC carry + histories (atomic write)."""
+        if not self.is_main:
+            return
+        (x, log_w, log_z, beta, eps, lq0, lp, glq0, glp) = state
+        out = {"stage": np.asarray(stage), "log_w": np.asarray(log_w),
+               "log_z": np.asarray(log_z), "beta": np.asarray(beta),
+               "eps": np.asarray(eps), "lq0": np.asarray(lq0),
+               "lp": np.asarray(lp)}
+        for k, v in x.items():
+            out[f"x_{k}"] = np.asarray(v)
+        if glq0 is not None:
+            for k, v in glq0.items():
+                out[f"gq_{k}"] = np.asarray(v)
+            for k, v in glp.items():
+                out[f"gp_{k}"] = np.asarray(v)
+        for i, name in enumerate(("ess", "acc", "betah", "steph")):
+            out[f"hist_{name}"] = np.concatenate(
+                [np.asarray(h[i]) for h in hists])
+        tmp = path + ".tmp.npz"     # .npz suffix: savez must not append one
+        np.savez(tmp, **out)
+        os.replace(tmp, path)
+
+    def _load_sample_state(self, path):
+        # Re-place the restored carry with the canonical particle shardings
+        # (the ones propose() establishes): a bare jnp.asarray would land
+        # everything on one device, so the resumed segments would compile
+        # un-sharded — a silent scaling loss on a real mesh, and (GSPMD
+        # reduction order) ulp-level drift vs the uninterrupted run.
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        if int(self.mesh.devices.size) > 1:
+            part_spec = (PS("data", "atom") if self.atom_axis > 1
+                         else PS("data"))
+            part = NamedSharding(self.mesh, part_spec)
+            vec = NamedSharding(self.mesh, PS("data"))
+            rep = NamedSharding(self.mesh, PS())
+        else:
+            part = vec = rep = None
+
+        def arr(v, sh):
+            a = jnp.asarray(v)
+            return jax.device_put(a, sh) if sh is not None else a
+
+        with np.load(path) as z:
+            x = {k[2:]: arr(z[k], part) for k in z.files
+                 if k.startswith("x_")}
+            glq0 = {k[3:]: arr(z[k], part) for k in z.files
+                    if k.startswith("gq_")} or None
+            glp = {k[3:]: arr(z[k], part) for k in z.files
+                   if k.startswith("gp_")} or None
+            state = (x, arr(z["log_w"], vec), arr(z["log_z"], rep),
+                     arr(z["beta"], rep), arr(z["eps"], rep),
+                     arr(z["lq0"], vec), arr(z["lp"], vec), glq0, glp)
+            hists = [tuple(jnp.asarray(z[f"hist_{n}"])
+                           for n in ("ess", "acc", "betah", "steph"))]
+            return int(z["stage"]), state, hists
+
+    def _log_sample_stages(self, sec, res, n_retries=0):
         """Write per-temperature SMC/AIS diagnostics (beta, ESS, accept) to
-        ``sampling.metrics_csv`` (rank-0-only; no-op when the key is absent)."""
+        ``sampling.metrics_csv`` (rank-0-only; no-op when the key is absent).
+        ``n_retries`` (chunked runs) lands on the final row so survived
+        device faults are machine-visible."""
         path = sec.get("metrics_csv")
         if not path or not self.is_main:
             return
@@ -1184,11 +1382,13 @@ class Main:
         beta_h = (np.asarray(res.beta_history)
                   if res.beta_history is not None else None)
         for i in range(len(ess_h)):
+            last = i == len(ess_h) - 1
             logger.log(stage=i,
                        beta=(float(beta_h[i]) if beta_h is not None else ""),
                        ess=float(ess_h[i]),
                        accept=float(acc_h[i]) if i < len(acc_h) else "",
-                       log_Z=float(res.log_Z) if i == len(ess_h) - 1 else "")
+                       log_Z=float(res.log_Z) if last else "",
+                       retries=n_retries if last else "")
         logger.close()
 
     def _ff_extras(self, pos, weights, sec):

@@ -35,11 +35,17 @@ def test_bench_builders_complete_anneal(builder):
 
 
 def test_timed_rate_contract():
-    """timed_rate returns (rate, ess_rate, log_Z, dt, spread_times) — the
-    tuple bench_scaling.py and bench_lj55.py unpack."""
+    """timed_rate returns a RateResult — the fields bench.py,
+    bench_scaling.py and bench_lj55.py consume (ADVICE r3: compile_s is now
+    measured inside, spread repeats are a parameter)."""
     run = bench.build(compute_dtype=None, n_temps=4)
-    out = bench.timed_rate(run, 8, repeats=1, tpu_opts=False)
-    rate, ess_rate, log_z, dt, times = out
-    assert rate > 0 and ess_rate > 0 and dt > 0
-    assert np.isfinite(log_z)
-    assert len(times) == 2 and all(t > 0 for t in times)
+    r = bench.timed_rate(run, 8, repeats=1, tpu_opts=False)
+    assert r.rate > 0 and r.ess_rate > 0 and r.dt > 0
+    assert np.isfinite(r.log_Z)
+    assert len(r.times) == 2 and all(t > 0 for t in r.times)
+    assert r.compile_s >= 0.0
+
+    # spread_repeats is configurable (the CPU-baseline leg passes 1)
+    r1 = bench.timed_rate(run, 8, repeats=1, tpu_opts=False,
+                          spread_repeats=0)
+    assert r1.times == []

@@ -334,6 +334,31 @@ def test_trr_dataset(tmp_path):
     np.testing.assert_allclose(np.asarray(s.box), 3.0)
 
 
+def test_largemd_mixed_format_list_per_frame_units(tmp_path):
+    """LargeMDDataset over a LIST of mixed .trr/.xyz trajectories: each
+    frame's unit scale comes from ITS source file (ADVICE r3 item 3 — a
+    list used to raise AttributeError in _traj_units, and mixed formats
+    would have applied one format's units to every frame)."""
+    from enflow_tpu.data.readers import LargeMDDataset
+
+    rng = np.random.default_rng(7)
+    coords = rng.normal(size=(4, 3))
+    traj = str(tmp_path / "a.trr")                       # nm-native
+    formats.write_trr(traj, [{"step": 0, "time": 0.0,
+                              "box": np.diag([3.0, 3.0, 3.0]),
+                              "pos": coords, "vel": None}], double=True)
+    xyz = str(tmp_path / "b.xyz")                        # ang-native
+    formats.write_xyz(xyz, ["C"] * 4, coords, comment="c")
+
+    d = LargeMDDataset(traj_file=[traj, xyz], r_cut=3.0, dist_unit="ang",
+                       atom_types=["C"], box=[40.0, 40.0, 40.0])
+    assert len(d) == 2
+    # trr frame: nm -> ang (x10); xyz frame: already ang (x1)
+    np.testing.assert_allclose(np.asarray(d[0].pos), coords * 10.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d[1].pos), coords, atol=1e-5)
+
+
 def test_hdf5_dataset(tmp_path):
     import h5py
     path = str(tmp_path / "a.h5")

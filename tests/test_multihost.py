@@ -239,11 +239,11 @@ def check(res):
     assert all(s.data.shape[0] == 4 for s in shards)   # 32 particles / 8
 
 
-rate, ess_rate, log_Z, dt, _ = bench.timed_rate(
-    run, 32, repeats=1, tpu_opts=False, check=check)
+r = bench.timed_rate(run, 32, repeats=1, tpu_opts=False, check=check)
 import numpy as np
-assert np.isfinite(log_Z), log_Z
-print(f"SCALING SMOKE OK rate={{rate:.1f}} log_Z={{log_Z:.3f}}", flush=True)
+assert np.isfinite(r.log_Z), r.log_Z
+print(f"SCALING SMOKE OK rate={{r.rate:.1f}} log_Z={{r.log_Z:.3f}}",
+      flush=True)
 """
 
 
@@ -335,6 +335,61 @@ def test_two_process_remc_e2e(tmp_path):
         assert z["swap_accept"].shape == (2,)
         assert np.isfinite(float(z["mbar_log_Z"]))
         assert np.isfinite(z["mbar_log_Z_blocks"]).all()
+
+
+ATOM_SAMPLE_YAML = """\
+mode: sample
+units: {time: pico, dist: ang}
+precision: float32
+seed: 7
+parallel: {atom_axis: 2}
+dynamics:
+  integrator: lf
+  n_iter: 2
+  dt: 0.05
+  checkpoint_path: ""
+  nbr_mode: all_pairs
+  network: {hidden_nf: 8, node_nf: 3}
+sampling:
+  algo: smc
+  n_particles: 16
+  n_temps: 3
+  mcmc_steps: 1
+  step_size: 0.05
+  n_leapfrog: 2
+  output: samples_atom.npz
+  target:
+    type: lj_cluster
+    n_atoms: 5
+    kBT: 2.0
+    softening: 0.1
+    e_cap: 1000.0
+"""
+
+
+def test_two_process_atom_sharded_sample(tmp_path):
+    """2-process (chain x atom) sample mode (VERDICT r3 item 1c): 4 global
+    devices form a ("data"=2, "atom"=2) mesh spanning both processes —
+    chains shard across processes, each molecule's atoms shard within one,
+    and the ring-EGCL shard_map densities run under GSPMD global arrays.
+    n_atoms=5 pads to 6 on the atom axis; rank 0 writes the npz trimmed
+    back to 5 atoms."""
+    (tmp_path / "atom_sample.yaml").write_text(ATOM_SAMPLE_YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+    env = dict(os.environ)
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    outs = _spawn_pair(tmp_path, env, "atom_sample.yaml")
+    assert "sampled 16 particles" in outs[0]
+    assert "sampled" not in outs[1]
+    with np.load(tmp_path / "samples_atom.npz") as z:
+        assert z["pos"].shape == (16, 5, 3)
+        assert z["h"].shape == (16, 5, 3)
+        assert np.isfinite(z["log_weights"]).all()
+        assert np.isfinite(float(z["log_Z"]))
 
 
 def test_import_is_backend_free():

@@ -426,3 +426,85 @@ def test_batched_value_and_grad_matches_vmap():
     v2, g2 = batched_value_and_grad(f_batched)(x)
     np.testing.assert_allclose(v2, v1, rtol=1e-12)
     np.testing.assert_allclose(g2, g1, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# chunked/segmented SMC (fault-tolerant long runs, VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_smc_segments_matches_monolithic(adaptive):
+    """Chunked execution == one monolithic scan, bitwise (same key): the
+    segments apply the identical anneal-step transition to the identical
+    (betas, betas_prev, keys) slices."""
+    from enflow_tpu.sample.smc import smc_segments
+
+    target = targets.gaussian((4,), std=1.6)
+    x0 = 1.6 * jax.random.normal(jax.random.PRNGKey(0), (32, 4), DTYPE)
+    log_q0 = lambda x: -0.5 * (x ** 2).sum() / (1.6 ** 2)
+    kw = dict(log_q0=log_q0, log_p=target.log_prob, n_temps=7, mcmc_steps=1,
+              step_size=0.3, n_leapfrog=3, adaptive=adaptive,
+              target_ess_frac=0.8)
+    key = jax.random.PRNGKey(5)
+
+    mono = jax.jit(lambda k, x: smc(k, x, **kw))(key, x0)
+    seg = smc_segments(key, x0, chunk_temps=3, **kw)
+
+    np.testing.assert_array_equal(np.asarray(seg.log_weights),
+                                  np.asarray(mono.log_weights))
+    np.testing.assert_array_equal(np.asarray(seg.log_Z),
+                                  np.asarray(mono.log_Z))
+    np.testing.assert_array_equal(np.asarray(seg.ess_history),
+                                  np.asarray(mono.ess_history))
+    np.testing.assert_array_equal(np.asarray(seg.beta_history),
+                                  np.asarray(mono.beta_history))
+    for k in ("particles",):
+        np.testing.assert_array_equal(np.asarray(getattr(seg, k)),
+                                      np.asarray(getattr(mono, k)))
+
+
+def test_smc_segments_resume_and_hooks():
+    """A run killed after segment 1 resumes from the on_segment-captured
+    state and finishes bitwise-identical to the uninterrupted run; the
+    run_segment executor sees every dispatch (retry hook)."""
+    from enflow_tpu.sample.smc import smc_segments
+
+    target = targets.gaussian((3,), std=1.2)
+    x0 = 1.2 * jax.random.normal(jax.random.PRNGKey(1), (16, 3), DTYPE)
+    log_q0 = lambda x: -0.5 * (x ** 2).sum() / (1.2 ** 2)
+    kw = dict(log_q0=log_q0, log_p=target.log_prob, n_temps=6, mcmc_steps=1,
+              step_size=0.3, n_leapfrog=2)
+    key = jax.random.PRNGKey(9)
+
+    full = smc_segments(key, x0, chunk_temps=2, **kw)
+
+    captured = {}
+
+    def grab(j, state, hists):
+        if j == 2:
+            captured["stage"] = j
+            captured["state"] = jax.tree_util.tree_map(np.asarray, state)
+            captured["hists"] = jax.tree_util.tree_map(np.asarray, hists)
+
+    calls = {"n": 0}
+
+    def counting(f, *a):
+        calls["n"] += 1
+        return f(*a)
+
+    smc_segments(key, x0, chunk_temps=2, on_segment=grab,
+                 run_segment=counting, **kw)
+    assert calls["n"] == 4                    # init + 3 segments
+    assert captured["stage"] == 2
+
+    resumed = smc_segments(
+        key, None, chunk_temps=2, start_stage=captured["stage"],
+        init_state=jax.tree_util.tree_map(jnp.asarray, captured["state"]),
+        init_hists=[tuple(jnp.asarray(a) for a in h)
+                    for h in captured["hists"]], **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.log_weights),
+                                  np.asarray(full.log_weights))
+    np.testing.assert_array_equal(np.asarray(resumed.log_Z),
+                                  np.asarray(full.log_Z))
+    np.testing.assert_array_equal(np.asarray(resumed.ess_history),
+                                  np.asarray(full.ess_history))
