@@ -78,14 +78,17 @@ def _build_cell_table(cell_id, mask, m, cap):
     table = table.at[jnp.where(ok, sorted_cid, n_cells),
                      jnp.where(ok, rank, cap - 1)].set(
         jnp.where(ok, order.astype(jnp.int32), n), mode="drop")
-    return table[:n_cells]
+    # real atoms dropped from over-full cells (their edges silently vanish
+    # from every candidate list) — one masked reduce for the overflow counter
+    dropped = (~ok & (sorted_cid < n_cells)).sum()
+    return table[:n_cells], dropped
 
 
 def _neighbors_one_cell(pos, box, mask, r_cut, m, cap, capacity):
     """Cell-list neighbor build for one molecule ([N,3] pos)."""
     n = pos.shape[0]
     cell_id, ijk = _cell_ids(pos, box, m)
-    table = _build_cell_table(cell_id, mask, m, cap)
+    table, dropped = _build_cell_table(cell_id, mask, m, cap)
 
     # candidate atoms: the 27 neighbor cells' tables -> [N, 27*cap].
     # For m <= 2 the periodic wrap makes some of the 27 offsets hit the same
@@ -113,11 +116,16 @@ def _neighbors_one_cell(pos, box, mask, r_cut, m, cap, capacity):
     score = jnp.where(valid, -d2, -jnp.inf)
     top, idx_c = jax.lax.top_k(score, capacity)               # [N, K]
     idx = jnp.take_along_axis(cand_safe, idx_c, axis=1)
-    return idx.astype(jnp.int32), top > -jnp.inf
+    # truncation counter: per-atom in-cutoff candidates beyond the top-k
+    # capacity, plus atoms dropped from over-full cells (see
+    # _build_cell_table)
+    excess = jnp.maximum(valid.sum(axis=-1) - capacity, 0).sum()
+    return idx.astype(jnp.int32), top > -jnp.inf, excess + dropped
 
 
 def cell_neighbor_list(pos, box, mask, r_cut, capacity: int,
-                       cells_per_dim: int, cell_capacity: int) -> Neighbors:
+                       cells_per_dim: int, cell_capacity: int,
+                       with_overflow: bool = False):
     """Batched cell-list neighbor build (same interface as
     ``neighbors.neighbor_list`` with top-k capacity).
 
@@ -126,11 +134,16 @@ def cell_neighbor_list(pos, box, mask, r_cut, capacity: int,
       capacity: neighbor slots per atom (K).
       cells_per_dim: static grid size m (``box/m >= r_cut`` required).
       cell_capacity: static per-cell atom capacity C.
+      with_overflow: also return a scalar int32 truncation counter (dropped
+        in-cutoff slots + atoms dropped from over-full cells).
     """
     f = jax.vmap(_neighbors_one_cell, in_axes=(0, 0, 0, 0, None, None, None))
-    idx, msk = f(pos, box, mask, r_cut, cells_per_dim, cell_capacity,
-                 capacity)
-    return Neighbors(idx=idx, mask=msk)
+    idx, msk, ovf = f(pos, box, mask, r_cut, cells_per_dim, cell_capacity,
+                      capacity)
+    nbrs = Neighbors(idx=idx, mask=msk)
+    if with_overflow:
+        return nbrs, ovf.sum().astype(jnp.int32)
+    return nbrs
 
 
 def cell_overflow(pos, box, mask, r_cut, cells_per_dim: int,

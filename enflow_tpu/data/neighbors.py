@@ -82,7 +82,9 @@ def _neighbors_one_topk(pos, box, mask, r_cut, capacity):
     valid, d2 = _valid_pairs(pos, box, mask, r_cut)
     score = jnp.where(valid, -d2, -jnp.inf)
     top, idx = jax.lax.top_k(score, capacity)
-    return idx.astype(jnp.int32), top > -jnp.inf
+    # dropped in-cutoff slots (one masked reduce; ~free next to the top_k)
+    excess = jnp.maximum(valid.sum(axis=-1) - capacity, 0).sum()
+    return idx.astype(jnp.int32), top > -jnp.inf, excess
 
 
 def neighbor_list(pos, box, mask, r_cut, capacity: int | None = None) -> Neighbors:
@@ -103,7 +105,7 @@ def neighbor_list(pos, box, mask, r_cut, capacity: int | None = None) -> Neighbo
     if capacity is None or capacity >= n:
         idx, m = jax.vmap(_neighbors_one_dense)(pos, box, mask, r_cut)
     else:
-        idx, m = jax.vmap(_neighbors_one_topk, in_axes=(0, 0, 0, 0, None))(
+        idx, m, _ = jax.vmap(_neighbors_one_topk, in_axes=(0, 0, 0, 0, None))(
             pos, box, mask, r_cut, capacity
         )
     return Neighbors(idx=idx, mask=m)
@@ -175,7 +177,8 @@ def _neighbors_one_images(pos, box, mask, r_cut, capacity):
     slot_ok = top > -jnp.inf
     d_rows = d.transpose(1, 0, 2, 3).reshape(n, 27 * n, 3)  # [N, 27N, 3]
     diff = jnp.take_along_axis(d_rows, flat[..., None], axis=1)
-    return j, slot_ok, jnp.where(slot_ok[..., None], diff, 0.0)
+    excess = jnp.maximum(valid.sum(axis=(0, 2)) - capacity, 0).sum()
+    return j, slot_ok, jnp.where(slot_ok[..., None], diff, 0.0), excess
 
 
 def image_neighbor_list(pos, box, mask, r_cut, capacity: int):
@@ -195,8 +198,8 @@ def image_neighbor_list(pos, box, mask, r_cut, capacity: int):
     *image* and cannot be recomputed from ``idx`` alone, so this builder
     returns them directly.
     """
-    idx, m, diff = jax.vmap(_neighbors_one_images,
-                            in_axes=(0, 0, 0, 0, None))(
+    idx, m, diff, _ = jax.vmap(_neighbors_one_images,
+                               in_axes=(0, 0, 0, 0, None))(
         pos, box, mask, r_cut, capacity)
     return Neighbors(idx=idx, mask=m), diff
 
@@ -235,7 +238,7 @@ def all_pairs(mask) -> Neighbors:
 
 def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
                          mode: str = "dense", cells_per_dim=None,
-                         cell_capacity=None):
+                         cell_capacity=None, with_overflow: bool = False):
     """Build neighbors and min-image displacements with one shared diff
     computation (the split API computes the ``[B,N,K,3]`` diff twice).
 
@@ -246,18 +249,36 @@ def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
     ``cell_capacity``); 'images' emits one slot per in-cutoff periodic
     image (required for correctness when ``box < 2*r_cut`` — see
     :func:`image_neighbor_list`; requires ``capacity``).
+
+    ``with_overflow``: also return a scalar int32 counting TRUNCATED slots
+    this build dropped (0 for the exact dense/all_pairs formats; for 'cell'
+    it adds atoms dropped from over-full cells, whose edges are lost from
+    the candidate table). Cost is one masked reduce over quantities the
+    build already computes — cheap enough to leave on in production
+    (``FlowConfig.track_overflow`` threads it through the flow and the
+    driver surfaces it per epoch in the metrics CSV), closing the silent-
+    truncation hole the one-time startup validation cannot (positions move
+    during flow integration; VERDICT r3 item 5).
     """
+    zero = jnp.zeros((), jnp.int32)
     if mode == "images":
         if capacity is None:
             raise ValueError(
                 "nbr_mode 'images' needs nbr_capacity ((neighbor, image) "
                 "slots per atom; 'auto' works in the driver)")
-        return image_neighbor_list(pos, box, mask, r_cut, capacity)
+        idx, m, diff, excess = jax.vmap(
+            _neighbors_one_images, in_axes=(0, 0, 0, 0, None))(
+            pos, box, mask, r_cut, capacity)
+        out = Neighbors(idx=idx, mask=m), diff
+        return out + (excess.sum().astype(jnp.int32),) if with_overflow \
+            else out
     if mode == "all_pairs":
         nbrs = all_pairs(mask)
         diff = pos[:, :, None, :] - pos[:, None, :, :]
         diff = min_image(diff, box[:, None, None, :])
-        return nbrs, jnp.where(nbrs.mask[..., None], diff, 0.0)
+        out = nbrs, jnp.where(nbrs.mask[..., None], diff, 0.0)
+        return out + (zero,) if with_overflow else out
+    ovf = zero
     if mode == "cell":
         from .celllist import cell_neighbor_list
         if capacity is None or cells_per_dim is None or cell_capacity is None:
@@ -265,11 +286,22 @@ def neighbors_with_diffs(pos, box, mask, r_cut, capacity=None,
                 "nbr_mode 'cell' needs nbr_capacity (per-atom neighbor "
                 "slots; 'auto' works), cells_per_dim and cell_capacity "
                 "(ints or 'auto' in the dynamics section)")
-        nbrs = cell_neighbor_list(pos, box, mask, r_cut, capacity,
-                                  cells_per_dim, cell_capacity)
+        nbrs, ovf = cell_neighbor_list(pos, box, mask, r_cut, capacity,
+                                       cells_per_dim, cell_capacity,
+                                       with_overflow=True)
     else:
-        nbrs = neighbor_list(pos, box, mask, r_cut, capacity)
-    return nbrs, coord_diffs(pos, box, nbrs)
+        n = pos.shape[1]
+        if capacity is None or capacity >= n:
+            idx, m = jax.vmap(_neighbors_one_dense)(pos, box, mask, r_cut)
+            nbrs = Neighbors(idx=idx, mask=m)
+        else:
+            idx, m, excess = jax.vmap(
+                _neighbors_one_topk, in_axes=(0, 0, 0, 0, None))(
+                pos, box, mask, r_cut, capacity)
+            nbrs = Neighbors(idx=idx, mask=m)
+            ovf = excess.sum().astype(jnp.int32)
+    out = nbrs, coord_diffs(pos, box, nbrs)
+    return out + (ovf,) if with_overflow else out
 
 
 def coord_diffs(pos, box, nbrs: Neighbors):

@@ -90,6 +90,15 @@ class FlowConfig:
     # by flow/sharded.py, not by hand: every function here then assumes it
     # is executing inside shard_map with per-shard [B, N/P, ...] blocks.
     axis_name: Optional[str] = None
+    # Return a runtime neighbor-truncation counter from forward/reverse
+    # (one masked reduce per neighbor build; data/neighbors.py). The
+    # one-time startup capacity validation samples INITIAL configurations
+    # only — positions move during flow integration, so truncating formats
+    # (topk/cell/images) can silently drop edges mid-flow. With this flag
+    # the public entry points return an extra scalar int32 (total dropped
+    # slots across steps) the driver surfaces in the metrics CSV
+    # (VERDICT r3 item 5). Exact formats (dense/all_pairs/ring) report 0.
+    track_overflow: bool = False
 
     @property
     def num_networks(self) -> int:
@@ -134,12 +143,17 @@ def _dequant_reverse(cfg, h, mask):
 
 
 def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
-    """Evaluate one EGCL on current state, rebuilding the neighbor list."""
+    """Evaluate one EGCL on current state, rebuilding the neighbor list.
+
+    Returns ``((Q, F, G), overflow)`` — ``overflow`` a scalar int32 counting
+    neighbor slots this build truncated (always 0 for the exact
+    dense/all_pairs/ring formats; see ``FlowConfig.track_overflow``)."""
+    zero = jnp.zeros((), jnp.int32)
     if cfg.axis_name:
         from ..parallel.ring import ring_egcl
         return ring_egcl(net_params, cfg.egcl, sys.h, sys.pos, sys.mask,
                          sys.box, sys.r_cut, cfg.axis_name,
-                         nbr_mode=cfg.nbr_mode)
+                         nbr_mode=cfg.nbr_mode), zero
     if cfg.egcl.use_pallas in ("v2", "v3"):
         # raw-state kernels (ops/egcl_fused.py / egcl_fused_v3.py);
         # True/"v1" stays the edge-pipeline kernel inside apply_egcl
@@ -151,12 +165,15 @@ def _egcl_at(params, cfg: FlowConfig, net_params, sys: System):
         from ..nn.egcl import apply_egcl_fused_allpairs
         return apply_egcl_fused_allpairs(net_params, cfg.egcl, sys.h,
                                          sys.pos, sys.box, sys.mask,
-                                         kernel=cfg.egcl.use_pallas)
-    nbrs, cd = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
-                                    cfg.nbr_capacity, cfg.nbr_mode,
-                                    cfg.cells_per_dim, cfg.cell_capacity)
+                                         kernel=cfg.egcl.use_pallas), zero
+    built = neighbors_with_diffs(sys.pos, sys.box, sys.mask, sys.r_cut,
+                                 cfg.nbr_capacity, cfg.nbr_mode,
+                                 cfg.cells_per_dim, cfg.cell_capacity,
+                                 with_overflow=cfg.track_overflow)
+    nbrs, cd = built[0], built[1]
+    ovf = built[2] if cfg.track_overflow else zero
     return apply_egcl(net_params, cfg.egcl, sys.h, cd, nbrs.idx, nbrs.mask,
-                      sys.mask, all_pairs=cfg.nbr_mode == "all_pairs")
+                      sys.mask, all_pairs=cfg.nbr_mode == "all_pairs"), ovf
 
 
 def _ldj_sum(cfg: FlowConfig, Q):
@@ -194,16 +211,17 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
 
     def step(s: System, net):
-        Q, F, G = _egcl_at(params, cfg, net, s)
+        (Q, F, G), ovf = _egcl_at(params, cfg, net, s)
         vel = jnp.exp(Q) * s.vel + F * dt
         g = s.g + G * dt
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
-        return s, _ldj_sum(cfg, Q)
+        return s, (_ldj_sum(cfg, Q), ovf)
 
-    sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
-                                  params["networks"], unroll=cfg.scan_unroll)
-    return sys, ldj_steps.sum(axis=0)
+    sys, (ldj_steps, ovf_steps) = jax.lax.scan(
+        _maybe_remat(cfg, step), sys, params["networks"],
+        unroll=cfg.scan_unroll)
+    return sys, ldj_steps.sum(axis=0), ovf_steps.sum()
 
 
 def _lf_reverse(params, cfg: FlowConfig, sys: System):
@@ -212,15 +230,15 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
     def step(s: System, net):
         s = s.replace(h=s.h - s.g * dt)
         s = s.replace(pos=s.pos - s.vel * dt).pbc()
-        Q, F, G = _egcl_at(params, cfg, net, s)
+        (Q, F, G), ovf = _egcl_at(params, cfg, net, s)
         g = s.g - G * dt
         vel = (s.vel - F * dt) / jnp.exp(Q)
-        return s.replace(g=g, vel=vel), -_ldj_sum(cfg, Q)
+        return s.replace(g=g, vel=vel), (-_ldj_sum(cfg, Q), ovf)
 
-    sys, ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), sys,
-                                  params["networks"], reverse=True,
-                                  unroll=cfg.scan_unroll)
-    return sys, ldj_steps.sum(axis=0)
+    sys, (ldj_steps, ovf_steps) = jax.lax.scan(
+        _maybe_remat(cfg, step), sys, params["networks"], reverse=True,
+        unroll=cfg.scan_unroll)
+    return sys, ldj_steps.sum(axis=0), ovf_steps.sum()
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +253,7 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
     net0 = jax.tree_util.tree_map(lambda x: x[0], nets)
     rest = jax.tree_util.tree_map(lambda x: x[1:], nets)
 
-    QFG0 = _egcl_at(params, cfg, net0, sys)
+    QFG0, ovf0 = _egcl_at(params, cfg, net0, sys)
 
     def step(carry, net):
         s, (Q, F, G) = carry
@@ -247,15 +265,15 @@ def _vv_forward(params, cfg: FlowConfig, sys: System):
         s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
         s = s.replace(h=s.h + s.g * dt)
         # second half-kick with the next network
-        Q2, F2, G2 = _egcl_at(params, cfg, net, s)
+        (Q2, F2, G2), ovf = _egcl_at(params, cfg, net, s)
         s = s.replace(vel=jnp.exp(Q2 / 2) * s.vel + F2 * dt_2,
                       g=s.g + G2 * dt_2)
         ldj = ldj + 0.5 * _ldj_sum(cfg, Q2)
-        return (s, (Q2, F2, G2)), ldj
+        return (s, (Q2, F2, G2)), (ldj, ovf)
 
-    (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step), (sys, QFG0),
-                                       rest, unroll=cfg.scan_unroll)
-    return sys, ldj_steps.sum(axis=0)
+    (sys, _), (ldj_steps, ovf_steps) = jax.lax.scan(
+        _maybe_remat(cfg, step), (sys, QFG0), rest, unroll=cfg.scan_unroll)
+    return sys, ldj_steps.sum(axis=0), ovf_steps.sum() + ovf0
 
 
 def _vv_reverse(params, cfg: FlowConfig, sys: System):
@@ -269,7 +287,7 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
     # Half-kicks don't change (h, pos), so net_{k}'s evaluation after undoing
     # step k equals the one forward used for step k's first half-kick AND the
     # one step k-1's second half-kick needs — carry it, mirroring the forward.
-    QFG_last = _egcl_at(params, cfg, net_last, sys)
+    QFG_last, ovf0 = _egcl_at(params, cfg, net_last, sys)
 
     def step(carry, net):
         s, (Q, F, G) = carry
@@ -281,16 +299,16 @@ def _vv_reverse(params, cfg: FlowConfig, sys: System):
         s = s.replace(h=s.h - s.g * dt)
         s = s.replace(pos=s.pos - s.vel * dt).pbc()
         # undo first half-kick with this step's lower network
-        Q2, F2, G2 = _egcl_at(params, cfg, net, s)
+        (Q2, F2, G2), ovf = _egcl_at(params, cfg, net, s)
         s = s.replace(g=s.g - G2 * dt_2,
                       vel=(s.vel - F2 * dt_2) / jnp.exp(Q2 / 2))
         ldj = ldj - 0.5 * _ldj_sum(cfg, Q2)
-        return (s, (Q2, F2, G2)), ldj
+        return (s, (Q2, F2, G2)), (ldj, ovf)
 
-    (sys, _), ldj_steps = jax.lax.scan(_maybe_remat(cfg, step),
-                                       (sys, QFG_last), rest,
-                                       reverse=True, unroll=cfg.scan_unroll)
-    return sys, ldj_steps.sum(axis=0)
+    (sys, _), (ldj_steps, ovf_steps) = jax.lax.scan(
+        _maybe_remat(cfg, step), (sys, QFG_last), rest, reverse=True,
+        unroll=cfg.scan_unroll)
+    return sys, ldj_steps.sum(axis=0), ovf_steps.sum() + ovf0
 
 
 # ---------------------------------------------------------------------------
@@ -321,11 +339,13 @@ def forward(params, cfg: FlowConfig, sys: System, key):
         h, log_q = _dequant_forward(params, cfg, sys.h, sys.mask, key)
     sys = sys.replace(h=h)
     if cfg.integrator == "lf":
-        sys, ldj = _lf_forward(params, cfg, sys)
+        sys, ldj, ovf = _lf_forward(params, cfg, sys)
     elif cfg.integrator == "vv":
-        sys, ldj = _vv_forward(params, cfg, sys)
+        sys, ldj, ovf = _vv_forward(params, cfg, sys)
     else:
         raise ValueError(cfg.integrator)
+    if cfg.track_overflow:
+        return sys, ldj + log_q, ovf
     return sys, ldj + log_q
 
 
@@ -336,10 +356,12 @@ def forward_core(params, cfg: FlowConfig, sys: System):
     ``(h, g, pos, vel)`` with per-molecule ldj ``[B]``.
     """
     if cfg.integrator == "lf":
-        return _lf_forward(params, cfg, sys)
-    if cfg.integrator == "vv":
-        return _vv_forward(params, cfg, sys)
-    raise ValueError(cfg.integrator)
+        out = _lf_forward(params, cfg, sys)
+    elif cfg.integrator == "vv":
+        out = _vv_forward(params, cfg, sys)
+    else:
+        raise ValueError(cfg.integrator)
+    return out if cfg.track_overflow else out[:2]
 
 
 def reverse_core(params, cfg: FlowConfig, sys: System):
@@ -350,15 +372,20 @@ def reverse_core(params, cfg: FlowConfig, sys: System):
     ``log q(x) = log p(z) - ldj``.
     """
     if cfg.integrator == "lf":
-        return _lf_reverse(params, cfg, sys)
-    if cfg.integrator == "vv":
-        return _vv_reverse(params, cfg, sys)
-    raise ValueError(cfg.integrator)
+        out = _lf_reverse(params, cfg, sys)
+    elif cfg.integrator == "vv":
+        out = _vv_reverse(params, cfg, sys)
+    else:
+        raise ValueError(cfg.integrator)
+    return out if cfg.track_overflow else out[:2]
 
 
 def reverse(params, cfg: FlowConfig, sys: System):
     """Integrate backward + re-quantize (exact inverse of ``forward`` modulo
     the stochastic dequantization noise; ``reverse(forward(x)) == x``
     exactly, including one-hot recovery)."""
-    sys, _ = reverse_core(params, cfg, sys)
-    return sys.replace(h=_dequant_reverse(cfg, sys.h, sys.mask))
+    out = reverse_core(params, cfg, sys)
+    sys = out[0].replace(h=_dequant_reverse(cfg, out[0].h, out[0].mask))
+    if cfg.track_overflow:
+        return sys, out[2]
+    return sys

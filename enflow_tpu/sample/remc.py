@@ -86,14 +86,45 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     if log_q0 is None:
         log_q0 = _zero_log_q0
     betas = jnp.asarray(betas)
-    K = betas.shape[0]
-    M = jax.tree_util.tree_leaves(x0)[0].shape[1]
-    step_size = jnp.broadcast_to(jnp.asarray(step_size, betas.dtype), (K,))
 
+    one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
+                                mcmc_steps, n_leapfrog)
+    lq0, lp, glq0, glp = _init_remc_caches(log_q0, log_p, x0)
+
+    (x, lq0, lp, glq0, glp), outs = jax.lax.scan(
+        one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
+    return _aggregate_remc(x, outs, betas)
+
+
+def _init_remc_caches(log_q0, log_p, x0):
+    """Per-replica component value/gradient caches at the initial states."""
     vg_q = jax.vmap(jax.vmap(jax.value_and_grad(log_q0)))
     vg_p = jax.vmap(jax.vmap(jax.value_and_grad(log_p)))
     lq0, glq0 = vg_q(x0)                                    # [K, M], [K, M, ...]
     lp, glp = vg_p(x0)
+    return lq0, lp, glq0, glp
+
+
+def _aggregate_remc(x, outs, betas) -> REMCResult:
+    samples, accs, rates, pair_ons = outs
+    n_on = jnp.maximum(pair_ons.sum(axis=0), 1)             # rounds pair was on
+    return REMCResult(
+        samples=samples,
+        x_final=x,
+        swap_accept=rates.sum(axis=0) / n_on,
+        accept=accs.mean(axis=0),
+        betas=betas,
+    )
+
+
+def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
+                    n_leapfrog):
+    """One REMC round ``(carry, r) -> (carry, (target_slot, acc, rate,
+    pair_on))``, keyed by the ABSOLUTE round index ``r`` (fold_in) — so a
+    chunked scan over ``arange(r0, r1)`` continues the monolithic RNG
+    stream bitwise (:func:`remc_segments`)."""
+    K = betas.shape[0]
+    step_size = jnp.broadcast_to(jnp.asarray(step_size, betas.dtype), (K,))
 
     # kernel over [K, M]: inner vmap = chains, outer vmap = temperature
     # slots (beta and step size vary along K)
@@ -109,6 +140,7 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     def swap_phase(parity, k_swap, x, lq0, lp, glq0, glp):
         """Even/odd deterministic pairing: slot k proposes a swap with k+1
         for k = parity, parity+2, ... Swaps permute states AND caches."""
+        M = lq0.shape[1]
         e = lp - lq0                                        # [K, M]
         d_beta = betas[1:] - betas[:-1]                     # [K-1]
         log_a = d_beta[:, None] * (e[:-1] - e[1:])          # [K-1, M]
@@ -136,6 +168,8 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
         x, lq0, lp, glq0, glp = carry
         k_round = jax.random.fold_in(key, r)
 
+        M = jax.tree_util.tree_leaves(carry[0])[0].shape[1]
+
         def sweep(i, state):
             x, acc, lq0, lp, glq0, glp = state
             kk = jax.random.fold_in(k_round, i)
@@ -156,14 +190,59 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
         out = (target_slot, acc / mcmc_steps, rate, pair_on)
         return (x, lq0, lp, glq0, glp), out
 
-    (x, lq0, lp, glq0, glp), (samples, accs, rates, pair_ons) = jax.lax.scan(
-        one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
+    return one_round
 
-    n_on = jnp.maximum(pair_ons.sum(axis=0), 1)             # rounds pair was on
-    return REMCResult(
-        samples=samples,
-        x_final=x,
-        swap_accept=rates.sum(axis=0) / n_on,
-        accept=accs.mean(axis=0),
-        betas=betas,
-    )
+
+def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
+                  betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
+                  n_leapfrog: int = 5, chunk_rounds: int = 8,
+                  run_segment=None, on_segment=None, start_round: int = 0,
+                  init_state=None, init_outs=None) -> REMCResult:
+    """:func:`remc` executed as bounded per-program segments (the REMC half
+    of VERDICT r3 item 4 — same contract as ``smc.smc_segments``).
+
+    At most ``chunk_rounds`` swap rounds run per jitted program; between
+    segments the host holds the replica carry ``(x, lq0, lp, glq0, glp)``
+    and accumulated per-round outputs. Each round is keyed by its ABSOLUTE
+    index (``fold_in(key, r)``), so the chunked run is bitwise-identical to
+    the monolithic scan for the same key (pinned by tests/test_remc.py).
+
+    ``run_segment(fn, *args)`` wraps every device dispatch (retry hook);
+    ``on_segment(next_round, state, outs)`` fires after each completed
+    segment (checkpoint hook); ``start_round``/``init_state``/``init_outs``
+    resume a killed run from the captured state.
+    """
+    if log_q0 is None:
+        log_q0 = _zero_log_q0
+    betas = jnp.asarray(betas)
+    if chunk_rounds <= 0:
+        chunk_rounds = n_rounds
+    run = run_segment or (lambda f, *a: f(*a))
+
+    one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
+                                mcmc_steps, n_leapfrog)
+
+    @jax.jit
+    def init_fn(x0):
+        return (x0,) + _init_remc_caches(log_q0, log_p, x0)
+
+    @jax.jit
+    def seg_fn(carry, rounds):
+        return jax.lax.scan(one_round, carry, rounds)
+
+    state = run(init_fn, x0) if init_state is None else init_state
+    outs = list(init_outs) if init_outs else []
+    r = int(start_round)
+    while r < n_rounds:
+        r2 = min(r + chunk_rounds, n_rounds)
+        state, out = run(seg_fn, state, jnp.arange(r, r2))
+        jax.block_until_ready(state[1])
+        outs.append(out)
+        if on_segment is not None:
+            on_segment(r2, state, outs)
+        r = r2
+
+    cat = lambda k: jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *[o[k] for o in outs])
+    all_outs = tuple(cat(k) for k in range(4))
+    return _aggregate_remc(state[0], all_outs, betas)

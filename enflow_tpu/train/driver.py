@@ -581,6 +581,16 @@ class Main:
             eprint("WARNING: " + msg, flush=True)
         if not (check_nbr or check_cell or check_images):
             return
+        # concrete headroom recommendation (VERDICT r3 item 5): positions
+        # move during flow integration, so the capacity should exceed the
+        # max observed INITIAL count by a factor (dynamics.capacity_headroom,
+        # default 1.25). The always-on runtime overflow counter
+        # (FlowConfig.track_overflow -> metrics CSV `nbr_overflow`) catches
+        # whatever motion exceeds even that.
+        factor = float(self.args.get("dynamics", {}).get(
+            "capacity_headroom", 1.25))
+        rec_nbr = int(np.ceil(max_nbr * factor))
+        rec_occ = int(np.ceil(max_occ * factor))
         errs = []
         if (check_nbr or check_images) and max_nbr > (cfg.nbr_capacity
                                                       or 10 ** 9):
@@ -589,21 +599,37 @@ class Main:
             errs.append(
                 f"nbr_capacity={cfg.nbr_capacity} is too small: an atom in "
                 f"this dataset has {max_nbr} {kind} — edges "
-                f"would be silently dropped. Set dynamics.nbr_capacity >= "
-                f"{max_nbr} (plus headroom for mid-flow motion)")
+                f"would be silently dropped. Recommended "
+                f"dynamics.nbr_capacity >= {rec_nbr} ({max_nbr} observed x "
+                f"{factor:g} capacity_headroom for mid-flow motion)")
         if check_cell and max_occ > cfg.cell_capacity:
             errs.append(
                 f"cell_capacity={cfg.cell_capacity} is too small: a cell in "
                 f"this dataset holds {max_occ} atoms — candidates would be "
-                f"silently dropped. Set dynamics.cell_capacity >= {max_occ} "
-                f"(plus headroom for mid-flow motion)")
+                f"silently dropped. Recommended dynamics.cell_capacity >= "
+                f"{rec_occ} ({max_occ} observed x {factor:g} "
+                f"capacity_headroom for mid-flow motion)")
         if errs:
             raise ValueError("; ".join(errs) +
                              " (or set dynamics.validate_capacity: false)")
         if self.is_main and (check_nbr or check_cell or check_images):
+            low = []
+            if (check_nbr or check_images) and cfg.nbr_capacity is not None \
+                    and cfg.nbr_capacity < rec_nbr:
+                low.append(f"nbr_capacity {cfg.nbr_capacity} < recommended "
+                           f"{rec_nbr} ({max_nbr} observed x {factor:g})")
+            if check_cell and cfg.cell_capacity < rec_occ:
+                low.append(f"cell_capacity {cfg.cell_capacity} < recommended "
+                           f"{rec_occ} ({max_occ} observed x {factor:g})")
             eprint(f"capacity check: max neighbors {max_nbr}"
                    + (f", max cell occupancy {max_occ}" if check_cell else "")
                    + " — within capacity", flush=True)
+            if low:
+                eprint("WARNING: capacity below the mid-flow headroom "
+                       "recommendation (" + "; ".join(low) + ") — the "
+                       "runtime overflow counter (metrics CSV "
+                       "`nbr_overflow`) will report any truncation",
+                       flush=True)
 
     def _make_train_step(self):
         cfg = self.flow_cfg
@@ -615,26 +641,59 @@ class Main:
         pair_impl = ("pallas" if self.args.get("training", {}).get(
             "loss", {}).get("pallas_pairwise") else "dense")
 
+        # Runtime truncation counter (VERDICT r3 item 5): when the neighbor
+        # format CAN truncate (top-k capacity / cell / images — positions
+        # move during flow integration, beyond what the one-time startup
+        # validation sampled), every train step also returns the number of
+        # dropped slots, surfaced per epoch in the metrics CSV. Exact
+        # formats (dense / all_pairs / atom-sharded ring) skip the plumbing.
+        track = self.atom_axis == 1 and self._capacity_can_truncate()
+
         if self.atom_axis > 1:
             from ..flow.sharded import make_sharded_nll
-            nll_fn = make_sharded_nll(self.mesh, cfg, kBT, soft,
+            nll_core = make_sharded_nll(self.mesh, cfg, kBT, soft,
+                                        num_log_gaussian_calls=n_lg,
+                                        axis="atom", data_axis="data")
+
+            def nll_fn(p, batch, key):
+                return nll_core(p, batch, key), jnp.zeros((), jnp.int32)
+        elif track:
+            cfg_t = dataclasses.replace(cfg, track_overflow=True)
+
+            def nll_fn(p, batch, key):
+                out, ldj, ovf = forward(p, cfg_t, batch, key)
+                return alchemical_nll(out, ldj, kBT, soft,
                                       num_log_gaussian_calls=n_lg,
-                                      axis="atom", data_axis="data")
+                                      pair_impl=pair_impl), ovf
         else:
             def nll_fn(p, batch, key):
                 out, ldj = forward(p, cfg, batch, key)
                 return alchemical_nll(out, ldj, kBT, soft,
                                       num_log_gaussian_calls=n_lg,
-                                      pair_impl=pair_impl)
+                                      pair_impl=pair_impl), \
+                    jnp.zeros((), jnp.int32)
 
         @jax.jit
         def train_step(params, opt_state, batch, key):
-            loss, grads = jax.value_and_grad(nll_fn)(params, batch, key)
+            (loss, ovf), grads = jax.value_and_grad(nll_fn, has_aux=True)(
+                params, batch, key)
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
-            return params2, opt_state2, loss
+            return params2, opt_state2, loss, ovf
 
         return train_step
+
+    def _capacity_can_truncate(self) -> bool:
+        """True when the configured neighbor format can silently drop edges
+        (fixed top-k capacity, cell binning, or image slots)."""
+        cfg = self.flow_cfg
+        if cfg.nbr_mode in ("cell", "images"):
+            return True
+        n_max = getattr(self.train_loader, "n_max", None) \
+            if self.train_loader is not None else None
+        return (cfg.nbr_mode in ("dense", "topk")
+                and cfg.nbr_capacity is not None
+                and (n_max is None or cfg.nbr_capacity < n_max))
 
     def _place_batch(self, batch):
         """Put a padded batch on the mesh: molecules over 'data', and (when
@@ -927,16 +986,24 @@ class Main:
                           and epoch == self.start_epoch + 1 and self.is_main)
             with profile_trace(self.profile_dir if do_profile else None), \
                     nan_guard(self.nan_checks):
-                losses = []
+                losses, ovfs = [], []
                 epoch_key = jax.random.fold_in(base_key, epoch)
                 for i, batch in enumerate(self.train_loader):
                     batch = self._place_batch(batch)
                     sub = jax.random.fold_in(epoch_key, i)
-                    params, opt_state, loss = train_step(params, opt_state,
-                                                         batch, sub)
+                    params, opt_state, loss, ovf = train_step(
+                        params, opt_state, batch, sub)
                     losses.append(loss)
+                    ovfs.append(ovf)
                 losses = jax.device_get(jnp.stack(losses))
+                epoch_ovf = int(jax.device_get(jnp.stack(ovfs)).sum())
             epoch_loss = float(losses.mean())
+            if epoch_ovf and self.is_main:
+                eprint(f"WARNING: epoch {epoch} truncated {epoch_ovf} "
+                       f"neighbor slots mid-flow (nbr_capacity/"
+                       f"cell_capacity too small for in-flow motion) — "
+                       f"raise the capacity or dynamics.capacity_headroom",
+                       flush=True)
             # (single explicit value; with sharded batches the loss is already
             # the global mean — no all_reduce needed, cf. main.py:232-233)
 
@@ -958,7 +1025,8 @@ class Main:
             self.metrics.log(epoch=epoch, loss=epoch_loss,
                              epoch_seconds=end_time - start_time,
                              lr=self._current_lr(),
-                             batches=len(self.train_loader))
+                             batches=len(self.train_loader),
+                             nbr_overflow=epoch_ovf)
             if self.is_main:
                 eprint(f"###### Ending epoch {epoch} ###### ", flush=True)
         self.metrics.close()
@@ -1197,6 +1265,19 @@ class Main:
         if n_pad > n_atoms:
             parts = {k: v[:, :n_atoms] for k, v in parts.items()}
 
+        # truncating neighbor formats: probe the FINAL particles with a
+        # tracked flow forward (one extra flow eval on a bounded subsample)
+        # so capacity overflow at the annealed configurations is visible in
+        # the CSV, not just at the initial validation (VERDICT r3 item 5)
+        nbr_overflow = ""
+        if self.atom_axis == 1 and self._capacity_can_truncate() \
+                and self.is_main:
+            nbr_overflow = self._sample_overflow_probe(parts, sec)
+            if nbr_overflow:
+                eprint(f"WARNING: {nbr_overflow} neighbor slots truncated "
+                       f"at the final particle configurations — raise "
+                       f"dynamics.nbr_capacity/cell_capacity", flush=True)
+
         # force-field targets: attach dihedral observables + phi/psi
         # free-energy profiles (importance-weighted) to the output
         lw = np.asarray(res.log_weights)
@@ -1223,8 +1304,32 @@ class Main:
             # observability (VERDICT r2 item 8): per-stage anneal diagnostics
             # into a CSV like training-mode loss rows — long sampling runs
             # are otherwise opaque until the final npz lands
-            self._log_sample_stages(sec, res, n_retries)
+            self._log_sample_stages(sec, res, n_retries, nbr_overflow)
         return res
+
+    def _sample_overflow_probe(self, parts, sec, max_check=256):
+        """Tracked flow forward over (a subsample of) the final particles:
+        returns the number of truncated neighbor slots (int). One extra
+        flow evaluation, bounded at ``max_check`` particles."""
+        from ..data.system import System
+        from ..flow.integrators import forward_core
+
+        cfg_t = dataclasses.replace(self.flow_cfg, track_overflow=True)
+        pos = jnp.asarray(parts["pos"][:max_check], self.dtype)
+        P, n_atoms = pos.shape[:2]
+        sysb = System(
+            h=jnp.asarray(parts["h"][:max_check], self.dtype),
+            g=jnp.asarray(parts["g"][:max_check], self.dtype),
+            pos=pos,
+            vel=jnp.asarray(parts["vel"][:max_check], self.dtype),
+            mask=jnp.ones((P, n_atoms), bool),
+            box=jnp.full((P, 3), float(sec["target"].get("box", 1e3)),
+                         self.dtype),
+            r_cut=jnp.full((P,), float(sec["target"].get("r_cut", 1e2)),
+                           self.dtype))
+        _, _, ovf = jax.jit(
+            lambda s: forward_core(self.params, cfg_t, s))(sysb)
+        return int(jax.device_get(ovf))
 
     # -- fault-tolerant (chunked) SMC execution: VERDICT r3 item 4 --------
 
@@ -1253,20 +1358,7 @@ class Main:
         from ..sample.smc import smc_segments
 
         n_temps = knobs["n_temps"]
-        retries = {"n": 0}
-
-        def run_segment(f, *a):
-            for attempt in (0, 1):
-                try:
-                    out = f(*a)
-                    jax.block_until_ready(out)
-                    return out
-                except Exception as e:           # jaxlib XlaRuntimeError
-                    if "UNAVAILABLE" not in str(e) or attempt:
-                        raise
-                    retries["n"] += 1
-                    eprint(f"device UNAVAILABLE mid-segment ({e}); "
-                           "retrying once", flush=True)
+        run_segment, retries = self._retrying_runner()
 
         if ckpt_every and self.num_processes > 1:
             eprint("sampling.checkpoint_every is single-process only; "
@@ -1308,6 +1400,29 @@ class Main:
             eprint(f"sampling survived {retries['n']} device retr"
                    f"{'y' if retries['n'] == 1 else 'ies'}", flush=True)
         return res, retries["n"]
+
+    def _retrying_runner(self):
+        """``(run, counter)``: a dispatch executor retrying ONCE on
+        UNAVAILABLE-class device errors (the observed transient tunnel
+        fault, RESULTS.md r3 — chip healthy immediately after). The
+        executor syncs before returning so the fault surfaces inside the
+        try block rather than at a later ``block_until_ready``."""
+        counter = {"n": 0}
+
+        def run(f, *a):
+            for attempt in (0, 1):
+                try:
+                    out = f(*a)
+                    jax.block_until_ready(out)
+                    return out
+                except Exception as e:           # jaxlib XlaRuntimeError
+                    if "UNAVAILABLE" not in str(e) or attempt:
+                        raise
+                    counter["n"] += 1
+                    eprint(f"device UNAVAILABLE mid-segment ({e}); "
+                           "retrying once", flush=True)
+
+        return run, counter
 
     def _save_sample_state(self, path, stage, state, hists):
         """Persist the host-held SMC carry + histories (atomic write)."""
@@ -1367,11 +1482,12 @@ class Main:
                            for n in ("ess", "acc", "betah", "steph"))]
             return int(z["stage"]), state, hists
 
-    def _log_sample_stages(self, sec, res, n_retries=0):
+    def _log_sample_stages(self, sec, res, n_retries=0, nbr_overflow=""):
         """Write per-temperature SMC/AIS diagnostics (beta, ESS, accept) to
         ``sampling.metrics_csv`` (rank-0-only; no-op when the key is absent).
-        ``n_retries`` (chunked runs) lands on the final row so survived
-        device faults are machine-visible."""
+        ``n_retries`` (chunked runs) and ``nbr_overflow`` (truncating
+        neighbor formats, final-particle probe) land on the final row so
+        survived device faults and capacity truncation are machine-visible."""
         path = sec.get("metrics_csv")
         if not path or not self.is_main:
             return
@@ -1388,7 +1504,8 @@ class Main:
                        ess=float(ess_h[i]),
                        accept=float(acc_h[i]) if i < len(acc_h) else "",
                        log_Z=float(res.log_Z) if last else "",
-                       retries=n_retries if last else "")
+                       retries=n_retries if last else "",
+                       nbr_overflow=nbr_overflow if last else "")
         logger.close()
 
     def _ff_extras(self, pos, weights, sec):
@@ -1541,26 +1658,53 @@ class Main:
         n_rounds = int(sec.get("n_rounds", 100))
         discard = int(sec.get("discard_rounds", n_rounds // 2))
 
-        @jax.jit
-        def run(key):
-            kp, ks = jax.random.split(key)
-            # INDEPENDENT flow draws per ladder slot (not tile_replicas):
-            # swaps act within a chain column, so a tiled pathological draw
-            # would occupy every slot of its column and wedge its beta=1
-            # slot for the whole run (observed on-chip: 141/512 columns
-            # stuck at ~1e8 energies). One K*M batched draw, reshaped —
-            # K separate propose() calls would trace K copies of the
-            # reverse-flow graph into the program (K x compile time).
-            x0 = jax.tree_util.tree_map(
-                lambda a: a.reshape((K, M) + a.shape[1:]),
-                propose(kp, K * M))
-            return remc(ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
-                        n_rounds=n_rounds,
-                        mcmc_steps=int(sec.get("mcmc_steps", 1)),
-                        step_size=step_size,
-                        n_leapfrog=int(sec.get("n_leapfrog", 5)))
+        n_retries = 0
+        chunk = int(sec.get("chunk_rounds", 0))
+        if chunk > 0:
+            # bounded per-program segments + one retry on device faults
+            # (VERDICT r3 item 4 — the REMC analogue of chunk_temps)
+            from ..sample.remc import remc_segments
 
-        res = run(jax.random.PRNGKey(self.seed + 31))
+            run_segment, retries = self._retrying_runner()
+
+            @jax.jit
+            def draw(kp):
+                # independent per-slot draws, reshaped (see below)
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape((K, M) + a.shape[1:]),
+                    propose(kp, K * M))
+
+            kp, ks = jax.random.split(jax.random.PRNGKey(self.seed + 31))
+            x0 = run_segment(draw, kp)
+            res = remc_segments(
+                ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
+                n_rounds=n_rounds, mcmc_steps=int(sec.get("mcmc_steps", 1)),
+                step_size=step_size,
+                n_leapfrog=int(sec.get("n_leapfrog", 5)),
+                chunk_rounds=chunk, run_segment=run_segment)
+            n_retries = retries["n"]
+        else:
+            @jax.jit
+            def run(key):
+                kp, ks = jax.random.split(key)
+                # INDEPENDENT flow draws per ladder slot (not
+                # tile_replicas): swaps act within a chain column, so a
+                # tiled pathological draw would occupy every slot of its
+                # column and wedge its beta=1 slot for the whole run
+                # (observed on-chip: 141/512 columns stuck at ~1e8
+                # energies). One K*M batched draw, reshaped — K separate
+                # propose() calls would trace K copies of the reverse-flow
+                # graph into the program (K x compile time).
+                x0 = jax.tree_util.tree_map(
+                    lambda a: a.reshape((K, M) + a.shape[1:]),
+                    propose(kp, K * M))
+                return remc(ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
+                            n_rounds=n_rounds,
+                            mcmc_steps=int(sec.get("mcmc_steps", 1)),
+                            step_size=step_size,
+                            n_leapfrog=int(sec.get("n_leapfrog", 5)))
+
+            res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.samples)
 
         if self.num_processes > 1:
@@ -1653,11 +1797,12 @@ class Main:
                   if mbar_out else "")
             if "mbar_log_Z_se" in mbar_out:
                 mb += f"+-{mbar_out['mbar_log_Z_se']:.3f}"
+            retr = f"  retries={n_retries}" if n_retries else ""
             print(f"remc: {n_rounds} rounds x {M} chains x {K} temps -> "
                   f"{out_path}  kept {keep['pos'].shape[0]} rounds  "
                   f"swap_accept=[{sa.min():.2f},{sa.max():.2f}]  "
                   f"hmc_accept={float(np.asarray(res.accept)[-1]):.2f}"
-                  f"{mb}", flush=True)
+                  f"{mb}{retr}", flush=True)
             csv_path = sec.get("metrics_csv")
             if csv_path:
                 # one row per ladder slot: beta, HMC accept, swap accept
@@ -1673,7 +1818,8 @@ class Main:
                                swap_accept=(float(sa[k]) if k < K - 1
                                             else ""),
                                mbar_log_Z=(mbar_out.get("mbar_log_Z", "")
-                                           if k == K - 1 else ""))
+                                           if k == K - 1 else ""),
+                               retries=(n_retries if k == K - 1 else ""))
                 logger.close()
         return res
 

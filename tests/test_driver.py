@@ -189,7 +189,7 @@ def test_training_learns(tmp_path):
     params, opt_state = m.params, m.opt_state
     first = None
     for _ in range(30):
-        params, opt_state, loss = step(params, opt_state, batch, key)
+        params, opt_state, loss, _ = step(params, opt_state, batch, key)
         if first is None:
             first = float(loss)
     assert float(loss) < first - 1.0

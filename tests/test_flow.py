@@ -86,7 +86,7 @@ def test_ldj_matches_autodiff(integrator, core):
                       mask=mask, box=box, r_cut=r_cut)
 
     def run(x):
-        s, ldj = core(params, cfg, unflatten(x))
+        s, ldj, _ = core(params, cfg, unflatten(x))
         flat = jnp.concatenate([s.h.ravel(), s.g.ravel(),
                                 s.pos.ravel(), s.vel.ravel()])
         return flat, ldj

@@ -147,3 +147,56 @@ def test_remc_bridged_family_matches_target():
     s = _samples_second_half(res)
     assert s.var() == pytest.approx(0.25, rel=0.12)
     assert np.all(np.asarray(res.swap_accept) > 0.1)
+
+
+def test_remc_segments_matches_monolithic():
+    """Chunked REMC == monolithic, bitwise (same key): rounds are keyed by
+    absolute index, so segment scans continue the same RNG stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enflow_tpu.sample.remc import remc, remc_segments
+    from enflow_tpu.sample import targets
+
+    t = targets.gaussian((3,), std=1.5)
+    log_q0 = lambda x: -0.5 * (x ** 2).sum()
+    key = jax.random.PRNGKey(11)
+    x0 = jax.random.normal(key, (4, 8, 3), jnp.float64)   # [K, M, d]
+    betas = jnp.asarray([0.0, 0.5, 1.0, 1.0][:3])
+    kw = dict(log_p=t.log_prob, log_q0=log_q0, betas=jnp.asarray([0.0, 0.5, 1.0]),
+              n_rounds=7, mcmc_steps=2, step_size=0.3, n_leapfrog=2)
+
+    mono = jax.jit(lambda k, x: remc(k, x, **kw))(key, x0[:3])
+    calls = {"n": 0}
+
+    def counting(f, *a):
+        calls["n"] += 1
+        return f(*a)
+
+    seg = remc_segments(key, x0[:3], chunk_rounds=3, run_segment=counting,
+                        **kw)
+    assert calls["n"] == 4                       # init + 3 segments
+    np.testing.assert_array_equal(np.asarray(seg.samples),
+                                  np.asarray(mono.samples))
+    np.testing.assert_array_equal(np.asarray(seg.x_final),
+                                  np.asarray(mono.x_final))
+    np.testing.assert_array_equal(np.asarray(seg.swap_accept),
+                                  np.asarray(mono.swap_accept))
+    np.testing.assert_array_equal(np.asarray(seg.accept),
+                                  np.asarray(mono.accept))
+
+    # resume from a mid-run capture
+    cap = {}
+
+    def grab(r2, state, outs):
+        if r2 == 3:
+            cap["state"] = jax.tree_util.tree_map(np.asarray, state)
+            cap["outs"] = jax.tree_util.tree_map(np.asarray, outs)
+
+    remc_segments(key, x0[:3], chunk_rounds=3, on_segment=grab, **kw)
+    resumed = remc_segments(
+        key, None, chunk_rounds=3, start_round=3,
+        init_state=jax.tree_util.tree_map(jnp.asarray, cap["state"]),
+        init_outs=jax.tree_util.tree_map(jnp.asarray, cap["outs"]), **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.samples),
+                                  np.asarray(mono.samples))

@@ -691,3 +691,43 @@ def test_driver_chunked_smc_retries_on_unavailable(tmp_path, capsys):
     b = np.load(tmp_path / "retried.npz")
     for k in ("pos", "log_weights", "log_Z"):
         np.testing.assert_array_equal(b[k], a[k], err_msg=k)
+
+
+def test_driver_chunked_remc_matches_monolithic(tmp_path, capsys):
+    """sampling.chunk_rounds: segmented REMC == monolithic, bitwise."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+
+    def remc_cfg(out_name, **extra):
+        return {
+            "mode": "sample",
+            "units": {"time": "pico", "dist": "ang"},
+            "precision": "float64",
+            "seed": 5,
+            "dynamics": {"checkpoint_path":
+                         cfg["dynamics"]["checkpoint_path"],
+                         "nbr_mode": "all_pairs"},
+            "sampling": {
+                "algo": "remc",
+                "n_particles": 8,
+                "n_temps": 3,
+                "n_rounds": 6,
+                "discard_rounds": 2,
+                "mcmc_steps": 1,
+                "step_size": 0.1,
+                "n_leapfrog": 2,
+                "output": str(tmp_path / out_name),
+                "target": {"type": "gaussian", "n_atoms": 4, "std": 0.5,
+                           "kBT": 1.0},
+                **extra,
+            },
+        }
+
+    run_main(tmp_path, remc_cfg("remc_mono.npz"), "rm.yaml")
+    run_main(tmp_path, remc_cfg("remc_chunk.npz", chunk_rounds=2),
+             "rc.yaml")
+    capsys.readouterr()
+    a = np.load(tmp_path / "remc_mono.npz")
+    b = np.load(tmp_path / "remc_chunk.npz")
+    for k in ("pos", "vel", "h", "g", "swap_accept", "accept", "betas"):
+        np.testing.assert_array_equal(b[k], a[k], err_msg=k)
