@@ -53,7 +53,8 @@ def main():
         "n_temps": N_TEMPS,
         "compile_s": round(r.compile_s, 1),
         "device": str(dev),
-        **bench.flops_fields(r, dev),
+        **bench.flops_fields(
+            r, dev, bench.analytic_smc_flops(P_TPU, N_ATOMS, N_TEMPS)),
     }))
 
 

@@ -1,0 +1,302 @@
+"""LJ55 quality freeze: VI-trained flow-SMC vs HMC moments + MBAR log_Z.
+
+VERDICT r3 item 2 — the LJ55 analogue of ``quality_lj13.py``: without an
+independent cross-check, a sampling bias at the round-over-round large-N
+line would be invisible (the two r3 Jensen-bound log_Z values disagreed by
+13 nats with nothing to arbitrate). This script runs, on one chip:
+
+  1. flow-VI training per the committed recipe (``example/vi_lj55.yaml``:
+     annealed softening 0.2->0 and e_cap 200->2000 over the first 25 of 40
+     epochs — the bare LJ55 target NaNs at VI step ~1 without it)
+  2. replicated flow-SMC (adaptive tempering, HMC rejuvenation, exact-ldj
+     pushforward density) -> importance-weighted U / Rg with replicate SEs.
+     Runs CHUNKED (smc_segments + one UNAVAILABLE retry): a monolithic
+     64-temp LJ55 anneal died mid-execution on this tunnel in r3.
+  3. HMC ground truth on the same target (chains seeded from SMC output —
+     cold inits strand N=55 chains at astronomic energies)
+  4. flow-bridged REMC + MBAR -> the asymptotically unbiased log_Z with
+     chain-column block SEs (SMC's log_Z is a Jensen lower bound)
+
+Target: exact LJ55 cluster (softening 0), kBT=2, c_osc=0.5, with
+e_cap=2000 as a guard rail far above the thermal typical set (U ~ -230);
+identical target for SMC, HMC and REMC so the parity is internally exact.
+
+Prints ONE JSON line. Run:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_lj55.py
+(~25 min on a v5e chip including compiles.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+from enflow_tpu.data.system import System  # noqa: E402
+from enflow_tpu.flow import FlowConfig, init_flow, forward_core, \
+    reverse_core  # noqa: E402
+from enflow_tpu.nn.egcl import EGCLConfig  # noqa: E402
+from enflow_tpu.sample import dual_averaging_warmup, run_hmc, \
+    systematic_resample, targets  # noqa: E402
+from enflow_tpu.sample.smc import smc_segments  # noqa: E402
+from enflow_tpu.sample.remc import remc  # noqa: E402
+from enflow_tpu.sample.mbar import mbar, mbar_block_log_z, \
+    mbar_from_remc  # noqa: E402
+from enflow_tpu.sample.vi import flow_vi_loss, make_system_target, \
+    sample_base  # noqa: E402
+
+N_ATOMS, NODE_NF, HIDDEN, FLOW_STEPS = 55, 5, 128, 5
+KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
+VI_STEPS, VI_P = 4000, 256            # = vi_lj55.yaml 40 epochs x 100
+VI_ANNEAL = 2500                      # 25 epochs
+HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
+SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 32, 2, 8
+SMC_REPS = 6
+REMC_K, REMC_M, REMC_ROUNDS, REMC_DISCARD = 6, 170, 60, 30
+
+DTYPE = jnp.float32
+
+
+def observables(pos):
+    t = targets.lj_cluster(N_ATOMS, kBT=1.0, c_osc=0.0)
+    u = -jax.vmap(t.log_prob)(pos.reshape(-1, N_ATOMS, 3)).reshape(
+        pos.shape[:-2])
+    com = pos.mean(axis=-2, keepdims=True)
+    rg = jnp.sqrt(((pos - com) ** 2).sum(-1).mean(-1))
+    return u, rg
+
+
+def moments_weighted(pos, w):
+    u, rg = observables(pos)
+    mean = lambda f: float((w * f).sum())
+    return {"U": mean(u), "Rg": mean(rg)}
+
+
+def moments_chains(samples):
+    u, rg = observables(samples)          # [S, C]
+    out = {}
+    for name, f in (("U", u), ("Rg", rg)):
+        cm = np.asarray(f.mean(axis=0))   # [C] per-chain means
+        out[name] = float(cm.mean())
+        out[name + "_se"] = float(cm.std(ddof=1) / np.sqrt(cm.shape[0]))
+    return out
+
+
+def retrying(f, *a):
+    for attempt in (0, 1):
+        try:
+            out = f(*a)
+            jax.block_until_ready(out)
+            return out
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e) or attempt:
+                raise
+            print(f"# device UNAVAILABLE; retrying segment: {e}",
+                  file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    bench.enable_compilation_cache()
+    cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
+                     egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
+                                     compute_dtype="bfloat16"),
+                     nbr_mode="all_pairs", exact_ldj=True, remat=True)
+    params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
+    target = targets.lj_cluster(N_ATOMS, kBT=KBT, c_osc=C_OSC,
+                                softening=0.0, e_cap=E_CAP)
+
+    # ---- 1. flow-VI with the vi_lj55.yaml anneal -------------------------
+    import optax
+    opt = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(5.0),
+                      optax.adam(1e-3))
+    opt_state = opt.init(params)
+
+    def sys_target(soft, cap):
+        return make_system_target(
+            lambda x: target.log_prob(x, softening=soft, e_cap=cap), 1.0)
+
+    @jax.jit
+    def vi_step(params, opt_state, key, soft, cap):
+        batch = sample_base(key, VI_P, N_ATOMS, NODE_NF, box=1e3, r_cut=1e2,
+                            dtype=DTYPE)
+        loss, grads = jax.value_and_grad(
+            lambda p: flow_vi_loss(p, cfg, batch, sys_target(soft, cap))[0]
+        )(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    for i in range(VI_STEPS):
+        frac = max(0.0, 1.0 - i / VI_ANNEAL)
+        soft = 0.2 * frac
+        cap = 1.0 / (frac / 200.0 + (1.0 - frac) / E_CAP)
+        params, opt_state, loss = vi_step(
+            params, opt_state, jax.random.PRNGKey(10 + i), soft, cap)
+    loss.block_until_ready()
+    t_vi = time.time() - t0
+    print(f"# VI done in {t_vi:.0f} s, final loss {float(loss):.1f}",
+          file=sys.stderr, flush=True)
+
+    # ---- 2. replicated chunked flow-SMC ----------------------------------
+    mask = jnp.ones((1, N_ATOMS), bool)
+    box = jnp.full((1, 3), 1e3, DTYPE)
+    r_cut = jnp.full((1,), 1e2, DTYPE)
+
+    def to_system(x):
+        return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
+                      vel=x["vel"][None], mask=mask, box=box, r_cut=r_cut)
+
+    def gauss(s):
+        return -0.5 * sum((f * f).sum() for f in (s.h, s.g, s.vel))
+
+    def log_q0(x):
+        out, ldj = forward_core(params, cfg, to_system(x))
+        return gauss(out) - 0.5 * (out.pos ** 2).sum() + ldj[0]
+
+    def log_p(x):
+        return target.log_prob(x["pos"]) + gauss(to_system(x))
+
+    def rev_one(zz):
+        s, _ = reverse_core(params, cfg, to_system(zz))
+        return {"h": s.h[0], "g": s.g[0], "pos": s.pos[0], "vel": s.vel[0]}
+
+    propose = jax.jit(lambda kk: jax.vmap(rev_one)({
+        "h": jax.random.normal(jax.random.fold_in(kk, 0),
+                               (SMC_P, N_ATOMS, NODE_NF), DTYPE),
+        "g": jax.random.normal(jax.random.fold_in(kk, 1),
+                               (SMC_P, N_ATOMS, NODE_NF), DTYPE),
+        "pos": jax.random.normal(jax.random.fold_in(kk, 2),
+                                 (SMC_P, N_ATOMS, 3), DTYPE),
+        "vel": jax.random.normal(jax.random.fold_in(kk, 3),
+                                 (SMC_P, N_ATOMS, 3), DTYPE)}))
+
+    reps, logzs, esss = [], [], []
+    for r in range(SMC_REPS):
+        kz, ks_r = jax.random.split(jax.random.fold_in(
+            jax.random.PRNGKey(5), r))
+        x0s = retrying(propose, kz)
+        res_smc = smc_segments(
+            ks_r, x0s, log_q0=log_q0, log_p=log_p,
+            n_temps=SMC_MAX_TEMPS, adaptive=True, target_ess_frac=0.5,
+            mcmc_steps=SMC_SWEEPS, step_size=0.01, n_leapfrog=5,
+            chunk_temps=SMC_CHUNK, run_segment=retrying)
+        assert float(res_smc.beta_history[-1]) > 1.0 - 1e-5, \
+            "anneal incomplete — raise SMC_MAX_TEMPS"
+        lw = (res_smc.log_weights
+              - jax.scipy.special.logsumexp(res_smc.log_weights))
+        reps.append(moments_weighted(res_smc.particles["pos"], jnp.exp(lw)))
+        logzs.append(float(res_smc.log_Z))
+        esss.append(float(res_smc.ess_history[-1]))
+        print(f"# SMC rep {r}: log_Z={logzs[-1]:.2f} "
+              f"ESS={esss[-1]:.0f}", file=sys.stderr, flush=True)
+    m_smc = {}
+    for name in ("U", "Rg"):
+        vals = np.array([m[name] for m in reps])
+        m_smc[name] = float(vals.mean())
+        m_smc[name + "_se"] = float(vals.std(ddof=1) / np.sqrt(len(vals)))
+    m_smc["ess"] = float(np.mean(esss))
+    m_smc["reps"] = SMC_REPS
+    t_smc = time.time() - t0 - t_vi
+
+    # ---- 3. HMC ground truth (seeded from SMC) ---------------------------
+    idx = systematic_resample(jax.random.PRNGKey(6), lw, n=HMC_CHAINS)
+    x0h = res_smc.particles["pos"][idx]
+    eps, x0h = dual_averaging_warmup(jax.random.PRNGKey(2), x0h,
+                                     target.log_prob, n_adapt=200,
+                                     n_leapfrog=10, init_step_size=0.01)
+    res = run_hmc(jax.random.PRNGKey(3), x0h, target.log_prob,
+                  n_samples=HMC_SAMPLES, n_warmup=HMC_WARMUP,
+                  step_size=eps, n_leapfrog=10)
+    m_hmc = moments_chains(res.samples)
+    m_hmc["accept"] = round(float(res.accept_rate), 3)
+    m_hmc["step_size"] = round(float(eps), 5)
+    t_hmc = time.time() - t0 - t_vi - t_smc
+    print(f"# HMC done: accept {m_hmc['accept']}", file=sys.stderr,
+          flush=True)
+
+    # ---- 4. flow-bridged REMC + MBAR log_Z -------------------------------
+    betas = jnp.concatenate([jnp.zeros((1,)),
+                             jnp.geomspace(0.05, 1.0, REMC_K - 1)])
+    betas = betas.at[-1].set(1.0).astype(DTYPE)
+
+    @jax.jit
+    def draw_remc(kk):
+        z = {"h": jax.random.normal(jax.random.fold_in(kk, 0),
+                                    (REMC_K * REMC_M, N_ATOMS, NODE_NF),
+                                    DTYPE),
+             "g": jax.random.normal(jax.random.fold_in(kk, 1),
+                                    (REMC_K * REMC_M, N_ATOMS, NODE_NF),
+                                    DTYPE),
+             "pos": jax.random.normal(jax.random.fold_in(kk, 2),
+                                      (REMC_K * REMC_M, N_ATOMS, 3), DTYPE),
+             "vel": jax.random.normal(jax.random.fold_in(kk, 3),
+                                      (REMC_K * REMC_M, N_ATOMS, 3), DTYPE)}
+        x = jax.vmap(rev_one)(z)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((REMC_K, REMC_M) + a.shape[1:]), x)
+
+    x0r = retrying(draw_remc, jax.random.PRNGKey(7))
+    res_r = retrying(
+        jax.jit(lambda k, x: remc(k, x, log_p=log_p, log_q0=log_q0,
+                                  betas=betas, n_rounds=REMC_ROUNDS,
+                                  mcmc_steps=1, step_size=0.01,
+                                  n_leapfrog=5)),
+        jax.random.PRNGKey(8), x0r)
+    u_kn, counts = mbar_from_remc(res_r, log_p, log_q0)
+    states = np.repeat(np.arange(REMC_K), REMC_M)
+    columns = np.tile(np.arange(REMC_M), REMC_K)
+    # pool thinned post-discard beta=1 rounds (driver mbar_pool_rounds
+    # pattern, excluding the final round already in x_final)
+    idx_pool = np.unique(np.linspace(REMC_DISCARD, REMC_ROUNDS - 2, 5,
+                                     dtype=int))
+    pooled = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)[idx_pool]).reshape(
+            (-1,) + a.shape[2:]), res_r.samples)
+    lp2 = jax.jit(jax.vmap(log_p))(pooled)
+    lq2 = jax.jit(jax.vmap(log_q0))(pooled)
+    u2 = -((1.0 - betas)[:, None] * lq2[None, :]
+           + betas[:, None] * lp2[None, :])
+    u_kn = jnp.concatenate([u_kn, u2], axis=1)
+    counts = counts.at[-1].add(lp2.shape[0])
+    states = np.concatenate([states, np.full(int(lp2.shape[0]),
+                                             REMC_K - 1)])
+    columns = np.concatenate(
+        [columns, np.tile(np.arange(REMC_M),
+                          int(lp2.shape[0]) // REMC_M)])
+    mres = jax.jit(mbar)(u_kn, counts)
+    mbar_log_Z = -float(mres.f[-1] - mres.f[0])
+    blocks = mbar_block_log_z(u_kn, states, columns, REMC_K, n_blocks=4)
+    t_remc = time.time() - t0 - t_vi - t_smc - t_hmc
+
+    sig = lambda a, b, sa, sb: abs(a - b) / max((sa ** 2 + sb ** 2) ** 0.5,
+                                                1e-12)
+    logz_m, logz_se = float(np.mean(logzs)), float(
+        np.std(logzs, ddof=1) / np.sqrt(len(logzs)))
+    print(json.dumps({
+        "metric": "lj55_quality",
+        "hmc": m_hmc, "smc": m_smc,
+        "U_sigma": round(sig(m_hmc["U"], m_smc["U"], m_hmc["U_se"],
+                             m_smc["U_se"]), 2),
+        "Rg_sigma": round(sig(m_hmc["Rg"], m_smc["Rg"], m_hmc["Rg_se"],
+                              m_smc["Rg_se"]), 2),
+        "smc_log_Z": round(logz_m, 2),
+        "smc_log_Z_se": round(logz_se, 3),
+        "mbar_log_Z": round(mbar_log_Z, 2),
+        "mbar_log_Z_se": round(float(blocks.std(ddof=1)
+                                     / np.sqrt(len(blocks))), 3),
+        "mbar_converged": float(mres.converged),
+        "remc_swap_accept": [round(float(s), 2)
+                             for s in np.asarray(res_r.swap_accept)],
+        "wall_s": {"vi": round(t_vi, 1), "smc": round(t_smc, 1),
+                   "hmc": round(t_hmc, 1), "remc": round(t_remc, 1)},
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
