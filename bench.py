@@ -237,8 +237,11 @@ def timed_rate(run, P, repeats=3, check=None, tpu_opts=True,
     compile_s = None
     flops = None
     if tpu_opts and jax.devices()[0].platform not in ("cpu", "gpu"):
+        # tpu_opts: True -> the LJ13-tuned defaults; a dict -> explicit
+        # compiler options (bench_lj55 passes its own N=55-tuned budget)
+        opts = tpu_opts if isinstance(tpu_opts, dict) else TPU_COMPILER_OPTIONS
         lowered = fn.lower(jax.random.PRNGKey(1))
-        compiled = lowered.compile(compiler_options=TPU_COMPILER_OPTIONS)
+        compiled = lowered.compile(compiler_options=opts)
         fn = compiled
         compile_s = time.perf_counter() - t_start   # measured directly
         try:

@@ -30,6 +30,12 @@ N_TEMPS = 16
 P_TPU = 1024
 P_CPU = 32
 
+# N=55-tuned scoped-VMEM budget (r4 sweep, scripts/sweep_lj55_vmem.py):
+# 48 MiB gives 1.932 s/SMC vs 2.291 default and 2.123 at the LJ13-tuned
+# 32 MiB (-15.7%/-9%); 64 MiB ties 48 (1.931). The larger N=55 edge
+# tensors keep paying for VMEM past the LJ13 optimum.
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+
 
 def main():
     # persistent compilation cache (VERDICT r3 item 6): the ~400 s LJ55
@@ -38,7 +44,7 @@ def main():
     bench.enable_compilation_cache()
     run = bench.build(n_atoms=N_ATOMS, n_temps=N_TEMPS, remat=True)
     dev = jax.devices()[0]
-    r = bench.timed_rate(run, P_TPU)
+    r = bench.timed_rate(run, P_TPU, tpu_opts=TPU_COMPILER_OPTIONS)
 
     print(json.dumps({
         "metric": "lj55_flow_smc_samples_per_s_per_chip",
