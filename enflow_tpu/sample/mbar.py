@@ -65,22 +65,26 @@ def mbar(u_kn, counts, n_iter: int = 200) -> MBARResult:
     return MBARResult(f=f, log_w=log_w, converged=deltas[-1])
 
 
-def mbar_from_remc(res, log_p, log_q0=None):
+def mbar_from_remc(res, log_p, log_q0=None, batched=False):
     """Build MBAR inputs from a :class:`..sample.remc.REMCResult`.
 
     Pools every slot's post-scan chains (``res.x_final``) and evaluates the
     bridged family ``u_k = -[(1-beta_k) log_q0 + beta_k log_p]`` at all K
     betas. Returns ``(u_kn [K, K*M], counts [K])``.
+
+    ``batched``: the densities map ``[n, ...]`` pytrees to ``[n]`` values
+    directly (atom-sharded shard_map bodies) — applied as-is, not vmapped.
     """
     betas = res.betas
     K = betas.shape[0]
     pooled = jax.tree_util.tree_map(
         lambda a: a.reshape((-1,) + a.shape[2:]), res.x_final)   # [K*M, ...]
-    lp = jax.vmap(log_p)(pooled)                                 # [K*M]
+    apply_d = (lambda f: f) if batched else (lambda f: jax.vmap(f))
+    lp = apply_d(log_p)(pooled)                                  # [K*M]
     if log_q0 is None:
         lq0 = jnp.zeros_like(lp)
     else:
-        lq0 = jax.vmap(log_q0)(pooled)
+        lq0 = apply_d(log_q0)(pooled)
     u_kn = -((1.0 - betas)[:, None] * lq0[None, :]
              + betas[:, None] * lp[None, :])
     M = lp.shape[0] // K

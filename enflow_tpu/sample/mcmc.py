@@ -31,9 +31,10 @@ def _tree_dot(a, b):
 def _tree_axpy(alpha, x, y):
     """alpha * x + y over pytrees. ``alpha`` is cast to each leaf's dtype so
     a strongly-typed f64 scalar (e.g. a beta/step-size from an x64 schedule)
-    can't promote f32 particle states out of their loop-carry type."""
+    can't promote f32 particle states out of their loop-carry type; a
+    per-particle ``[P]`` alpha broadcasts over trailing leaf axes."""
     return jax.tree_util.tree_map(
-        lambda a, b: jnp.asarray(alpha, b.dtype) * a + b, x, y)
+        lambda a, b: _coef(alpha, a) * a + b, x, y)
 
 
 def batched_value_and_grad(f: Callable) -> Callable:
@@ -57,6 +58,14 @@ def batched_value_and_grad(f: Callable) -> Callable:
 def _bcast_to(v, leaf):
     """Reshape a ``[P]`` vector for broadcasting against a ``[P, ...]`` leaf."""
     return v.reshape(v.shape + (1,) * (leaf.ndim - v.ndim))
+
+
+def _coef(v, leaf):
+    """A scalar or per-particle ``[P]`` coefficient, dtype-cast and shaped to
+    broadcast against ``leaf [P, ...]`` (identity for scalars — the
+    per-chain kernels keep their exact scalar arithmetic)."""
+    v = jnp.asarray(v, leaf.dtype)
+    return v if v.ndim == 0 else _bcast_to(v, leaf)
 
 
 def _tree_dot_batched(a, b):
@@ -144,14 +153,18 @@ def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
     stds ``s``: ``p ~ N(0, 1/s^2)``, drift ``q += eps * s^2 * p``,
     kinetic ``sum((s*p)^2) / 2``. Equivalent to unit-mass HMC in the
     whitened coordinates ``q / s`` with position moves ~ ``eps * s``.
+
+    Batched mode additionally accepts PER-PARTICLE ``beta``/``step_size``
+    vectors ``[P]`` (broadcast over trailing leaf axes) — the batched-REMC
+    path runs every temperature slot's chains in one flattened ``[K*M]``
+    kernel call with per-replica betas (``sample/remc.py: batched=True``).
     """
     w0, w1 = 1.0 - beta, beta
 
     def comb(gq, gp):
-        # per-leaf cast: see _tree_axpy
+        # per-leaf cast (see _tree_axpy); [P] coefficients broadcast
         return jax.tree_util.tree_map(
-            lambda a, b: (jnp.asarray(w0, a.dtype) * a
-                          + jnp.asarray(w1, b.dtype) * b), gq, gp)
+            lambda a, b: _coef(w0, a) * a + _coef(w1, b) * b, gq, gp)
 
     kmom, kacc = jax.random.split(key)
     p0 = _tree_randn_like(kmom, x)
@@ -161,7 +174,7 @@ def _tempered_hmc(key, x, vgq, vgp, beta, step_size, n_leapfrog, vals, grads,
 
         def drift(q, p):
             return jax.tree_util.tree_map(
-                lambda qq, pp, s: qq + (jnp.asarray(step_size, qq.dtype)
+                lambda qq, pp, s: qq + (_coef(step_size, qq)
                                         * jnp.asarray(s * s, qq.dtype) * pp),
                 q, p, mass)
 

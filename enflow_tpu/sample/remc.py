@@ -30,7 +30,8 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .mcmc import tempered_hmc_kernel
+from .mcmc import (batched_value_and_grad, tempered_hmc_kernel,
+                   tempered_hmc_kernel_batched)
 
 
 class REMCResult(NamedTuple):
@@ -54,7 +55,7 @@ def _zero_log_q0(x):
 
 def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
          betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
-         n_leapfrog: int = 5) -> REMCResult:
+         n_leapfrog: int = 5, batched: bool = False) -> REMCResult:
     """Parallel tempering from ``betas[0]`` (hottest) to ``betas[-1] == 1``.
 
     Args:
@@ -88,16 +89,38 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     betas = jnp.asarray(betas)
 
     one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
-                                mcmc_steps, n_leapfrog)
-    lq0, lp, glq0, glp = _init_remc_caches(log_q0, log_p, x0)
+                                mcmc_steps, n_leapfrog, batched=batched)
+    lq0, lp, glq0, glp = _init_remc_caches(log_q0, log_p, x0,
+                                           batched=batched)
 
     (x, lq0, lp, glq0, glp), outs = jax.lax.scan(
         one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
     return _aggregate_remc(x, outs, betas)
 
 
-def _init_remc_caches(log_q0, log_p, x0):
-    """Per-replica component value/gradient caches at the initial states."""
+def _flatten_km(t, K, M):
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((K * M,) + a.shape[2:]), t)
+
+
+def _unflatten_km(t, K, M):
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((K, M) + a.shape[1:]), t)
+
+
+def _init_remc_caches(log_q0, log_p, x0, batched: bool = False):
+    """Per-replica component value/gradient caches at the initial states.
+
+    ``batched``: the densities map ``[n, ...]`` pytrees to ``[n]`` values
+    directly (atom-sharded shard_map bodies, fused-kernel flows) — replicas
+    are flattened ``[K*M]`` through them and reshaped back."""
+    if batched:
+        K, M = jax.tree_util.tree_leaves(x0)[0].shape[:2]
+        flat = _flatten_km(x0, K, M)
+        lq0, glq0 = batched_value_and_grad(log_q0)(flat)
+        lp, glp = batched_value_and_grad(log_p)(flat)
+        return (lq0.reshape(K, M), lp.reshape(K, M),
+                _unflatten_km(glq0, K, M), _unflatten_km(glp, K, M))
     vg_q = jax.vmap(jax.vmap(jax.value_and_grad(log_q0)))
     vg_p = jax.vmap(jax.vmap(jax.value_and_grad(log_p)))
     lq0, glq0 = vg_q(x0)                                    # [K, M], [K, M, ...]
@@ -118,22 +141,47 @@ def _aggregate_remc(x, outs, betas) -> REMCResult:
 
 
 def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
-                    n_leapfrog):
+                    n_leapfrog, batched: bool = False):
     """One REMC round ``(carry, r) -> (carry, (target_slot, acc, rate,
     pair_on))``, keyed by the ABSOLUTE round index ``r`` (fold_in) — so a
     chunked scan over ``arange(r0, r1)`` continues the monolithic RNG
-    stream bitwise (:func:`remc_segments`)."""
+    stream bitwise (:func:`remc_segments`).
+
+    ``batched``: run every slot's chains through ONE flattened ``[K*M]``
+    batched-density kernel call with per-replica beta/step-size vectors
+    (``mcmc._tempered_hmc`` broadcast support) instead of vmap-of-vmap over
+    per-replica callables — required for densities whose internals need the
+    whole batch (atom-sharded shard_map bodies, fused Pallas flows)."""
     K = betas.shape[0]
     step_size = jnp.broadcast_to(jnp.asarray(step_size, betas.dtype), (K,))
 
-    # kernel over [K, M]: inner vmap = chains, outer vmap = temperature
-    # slots (beta and step size vary along K)
-    kernel = jax.vmap(
-        jax.vmap(
-            lambda kk, xx, beta, ss, vals, grads: tempered_hmc_kernel(
-                kk, xx, log_q0, log_p, beta, ss, n_leapfrog, vals, grads),
-            in_axes=(0, 0, None, None, 0, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0))
+    if batched:
+        vgq = batched_value_and_grad(log_q0)
+        vgp = batched_value_and_grad(log_p)
+
+        def kernel(kk, x, betas_k, ss_k, vals, grads):
+            M = jax.tree_util.tree_leaves(x)[0].shape[1]
+            beta_v = jnp.repeat(betas_k, M)
+            ss_v = jnp.repeat(ss_k, M)
+            fl = lambda t: _flatten_km(t, K, M)
+            x2, acc, vals2, grads2 = tempered_hmc_kernel_batched(
+                kk, fl(x), vgq, vgp, beta_v, ss_v, n_leapfrog,
+                (vals[0].reshape(K * M), vals[1].reshape(K * M)),
+                (fl(grads[0]), fl(grads[1])))
+            un = lambda t: _unflatten_km(t, K, M)
+            return (un(x2), acc.reshape(K, M),
+                    (vals2[0].reshape(K, M), vals2[1].reshape(K, M)),
+                    (un(grads2[0]), un(grads2[1])))
+    else:
+        # kernel over [K, M]: inner vmap = chains, outer vmap = temperature
+        # slots (beta and step size vary along K)
+        kernel = jax.vmap(
+            jax.vmap(
+                lambda kk, xx, beta, ss, vals, grads: tempered_hmc_kernel(
+                    kk, xx, log_q0, log_p, beta, ss, n_leapfrog, vals,
+                    grads),
+                in_axes=(0, 0, None, None, 0, 0)),
+            in_axes=(0, 0, 0, 0, 0, 0))
 
     ks = jnp.arange(K)
 
@@ -173,7 +221,8 @@ def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
         def sweep(i, state):
             x, acc, lq0, lp, glq0, glp = state
             kk = jax.random.fold_in(k_round, i)
-            keys = jax.random.split(kk, K * M).reshape(K, M, 2)
+            keys = (kk if batched
+                    else jax.random.split(kk, K * M).reshape(K, M, 2))
             x, a, (lq0, lp), (glq0, glp) = kernel(
                 keys, x, betas, step_size, (lq0, lp), (glq0, glp))
             return x, acc + a.mean(axis=1), lq0, lp, glq0, glp
@@ -195,7 +244,8 @@ def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
 
 def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
                   betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
-                  n_leapfrog: int = 5, chunk_rounds: int = 8,
+                  n_leapfrog: int = 5, batched: bool = False,
+                  chunk_rounds: int = 8,
                   run_segment=None, on_segment=None, start_round: int = 0,
                   init_state=None, init_outs=None) -> REMCResult:
     """:func:`remc` executed as bounded per-program segments (the REMC half
@@ -220,11 +270,11 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     run = run_segment or (lambda f, *a: f(*a))
 
     one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
-                                mcmc_steps, n_leapfrog)
+                                mcmc_steps, n_leapfrog, batched=batched)
 
     @jax.jit
     def init_fn(x0):
-        return (x0,) + _init_remc_caches(log_q0, log_p, x0)
+        return (x0,) + _init_remc_caches(log_q0, log_p, x0, batched=batched)
 
     @jax.jit
     def seg_fn(carry, rounds):

@@ -20,7 +20,8 @@ by tests/test_sharded_flow.py), so the whole SMC/AIS anneal is one jitted
 2-D-sharded program.
 
 Composition contract: the builders return *batched* densities
-(``[P, ...] pytree -> [P]``) for ``smc/ais(batched=True)`` — the batched
+(``[P, ...] pytree -> [P]``) for ``smc/ais(batched=True)`` and
+``remc(batched=True)`` (flattened ``[K*M]`` replicas, per-replica betas) — the batched
 path exists exactly for densities whose internals need the full particle
 block at once (``sample/smc.py`` docstring), which a shard_map body does.
 

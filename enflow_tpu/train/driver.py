@@ -1105,10 +1105,10 @@ class Main:
             # 'atom'. Densities are shard_map bodies (ring EGCL flow +
             # ring pair-term target) fed to smc/ais(batched=True); see
             # sample/sharded.py.
-            if algo_name not in ("smc", "ais"):
+            if algo_name not in ("smc", "ais", "remc"):
                 raise NotImplementedError(
                     f"sampling.algo={algo_name!r} with parallel.atom_axis > 1"
-                    " — atom-sharded sampling supports smc | ais")
+                    " — atom-sharded sampling supports smc | ais | remc")
             from ..sample.sharded import make_sample_fns
             n_chain = int(self.mesh.shape["data"])
             if P % n_chain:
@@ -1119,6 +1119,10 @@ class Main:
             propose, log_q0, log_p, n_pad = make_sample_fns(
                 params, self.flow_cfg, target, n_atoms, node_nf, dtype,
                 box, r_cut, mesh=self.mesh)
+            if algo_name == "remc":
+                return self._sample_remc(sec, propose, log_q0, log_p, P,
+                                         batched=True, n_atoms=n_atoms,
+                                         n_pad=n_pad)
             return self._run_smc_ais(sec, algo_name, propose, log_q0, log_p,
                                      P, n_atoms, n_pad, batched=True)
 
@@ -1618,13 +1622,24 @@ class Main:
                 logger.close()
         return samples
 
-    def _sample_remc(self, sec, propose, log_q0, log_p, M):
+    def _sample_remc(self, sec, propose, log_q0, log_p, M, batched=False,
+                     n_atoms=None, n_pad=None):
         """``sampling.algo: remc`` — flow-bridged parallel tempering:
         chains start at flow samples, the ladder bridges the flow
         pushforward (beta=0) to the Boltzmann target (beta=1), and the
         beta=1 slot's draws are unweighted target samples (sample/remc.py).
+
+        ``batched`` (atom-sharded mode, ``parallel.atom_axis``): the
+        densities are batched shard_map bodies — the ladder runs through
+        one flattened ``[K*M]`` kernel call per sweep with per-replica
+        betas (``remc(batched=True)``), and the MBAR evaluations apply the
+        densities directly instead of vmapping; outputs are trimmed from
+        ``n_pad`` back to ``n_atoms``.
         """
         from ..sample.remc import remc
+
+        apply_d = ((lambda f: f) if batched
+                   else (lambda f: jax.vmap(f)))
 
         betas = sec.get("betas")
         if betas is not None:
@@ -1680,7 +1695,7 @@ class Main:
                 ks, x0, log_p=log_p, log_q0=log_q0, betas=betas,
                 n_rounds=n_rounds, mcmc_steps=int(sec.get("mcmc_steps", 1)),
                 step_size=step_size,
-                n_leapfrog=int(sec.get("n_leapfrog", 5)),
+                n_leapfrog=int(sec.get("n_leapfrog", 5)), batched=batched,
                 chunk_rounds=chunk, run_segment=run_segment)
             n_retries = retries["n"]
         else:
@@ -1702,7 +1717,8 @@ class Main:
                             n_rounds=n_rounds,
                             mcmc_steps=int(sec.get("mcmc_steps", 1)),
                             step_size=step_size,
-                            n_leapfrog=int(sec.get("n_leapfrog", 5)))
+                            n_leapfrog=int(sec.get("n_leapfrog", 5)),
+                            batched=batched)
 
             res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.samples)
@@ -1729,7 +1745,8 @@ class Main:
             # log_Z estimates, from a completely independent algorithm
             # (cross-validation of the two).
             from ..sample.mbar import mbar, mbar_block_log_z, mbar_from_remc
-            u_kn, counts = mbar_from_remc(res, log_p, log_q0)
+            u_kn, counts = mbar_from_remc(res, log_p, log_q0,
+                                          batched=batched)
             # provenance of every pooled sample, for the block error bar:
             # x_final flattens [K, M] row-major -> sample n is state n//M,
             # chain column n%M
@@ -1751,8 +1768,8 @@ class Main:
                 pooled = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(np.asarray(a)[idx]).reshape(
                         (-1,) + a.shape[2:]), res.samples)
-                lp2 = jax.jit(jax.vmap(log_p))(pooled)
-                lq2 = jax.jit(jax.vmap(log_q0))(pooled)
+                lp2 = jax.jit(apply_d(log_p))(pooled)
+                lq2 = jax.jit(apply_d(log_q0))(pooled)
                 b = jnp.asarray(res.betas)
                 u2 = -((1.0 - b)[:, None] * lq2[None, :]
                        + b[:, None] * lp2[None, :])
@@ -1782,6 +1799,9 @@ class Main:
         out_path = sec.get("output", "samples.npz")
         keep = {k: np.asarray(v)[discard:]
                 for k, v in res.samples.items()}        # [R-discard, M, ...]
+        if n_pad is not None and n_atoms is not None and n_pad > n_atoms:
+            # trim atom-axis padding (atom-sharded mode)
+            keep = {k: v[:, :, :n_atoms] for k, v in keep.items()}
         flat_pos = keep["pos"].reshape(-1, *keep["pos"].shape[2:])
         extra_out = self._ff_extras(flat_pos, None, sec)
         if self.is_main:

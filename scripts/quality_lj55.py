@@ -55,7 +55,7 @@ KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
 VI_STEPS, VI_P = 4000, 256            # = vi_lj55.yaml 40 epochs x 100
 VI_ANNEAL = 2500                      # 25 epochs
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
-SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 32, 2, 8
+SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 2, 8
 SMC_REPS = 6
 REMC_K, REMC_M, REMC_ROUNDS, REMC_DISCARD = 6, 170, 60, 30
 
@@ -103,7 +103,11 @@ def retrying(f, *a):
 def main():
     t0 = time.time()
     bench.enable_compilation_cache()
-    cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
+    # dt matches the committed recipe EXACTLY (vi_lj55.yaml: dt = 1 ps =
+    # 0.00718 reduced). A 0.05 first attempt trained a much weaker flow
+    # whose adaptive anneal stalled inside a 48-temp budget.
+    from enflow_tpu.utils import conversion as cv
+    cfg = FlowConfig(n_iter=FLOW_STEPS, dt=float(cv.time_to_lj(1.0, "pico")),
                      egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
                                      compute_dtype="bfloat16"),
                      nbr_mode="all_pairs", exact_ldj=True, remat=True)
@@ -113,8 +117,16 @@ def main():
 
     # ---- 1. flow-VI with the vi_lj55.yaml anneal -------------------------
     import optax
-    opt = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(5.0),
-                      optax.adam(1e-3))
+    # nan_to_num (the driver's VI guard), NOT zero_nans: zero_nans passes
+    # inf gradients through, and an inf reaching clip_by_global_norm scales
+    # to NaN updates that destroy the params permanently — observed here at
+    # N=55 (the first quality run NaN'd out of VI)
+    opt = optax.chain(
+        optax.stateless(lambda updates, params=None: jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0),
+            updates)),
+        optax.clip_by_global_norm(5.0),
+        optax.adam(1e-3))
     opt_state = opt.init(params)
 
     def sys_target(soft, cap):
@@ -137,10 +149,16 @@ def main():
         cap = 1.0 / (frac / 200.0 + (1.0 - frac) / E_CAP)
         params, opt_state, loss = vi_step(
             params, opt_state, jax.random.PRNGKey(10 + i), soft, cap)
+        if i % 500 == 0:
+            print(f"# VI step {i}: loss {float(loss):.1f} "
+                  f"(soft {soft:.3f}, cap {cap:.0f}, "
+                  f"t={time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     loss.block_until_ready()
     t_vi = time.time() - t0
-    print(f"# VI done in {t_vi:.0f} s, final loss {float(loss):.1f}",
+    final_loss = float(loss)
+    print(f"# VI done in {t_vi:.0f} s, final loss {final_loss:.1f}",
           file=sys.stderr, flush=True)
+    assert np.isfinite(final_loss), "VI diverged (NaN loss)"
 
     # ---- 2. replicated chunked flow-SMC ----------------------------------
     mask = jnp.ones((1, N_ATOMS), bool)
@@ -182,7 +200,9 @@ def main():
         x0s = retrying(propose, kz)
         res_smc = smc_segments(
             ks_r, x0s, log_q0=log_q0, log_p=log_p,
-            n_temps=SMC_MAX_TEMPS, adaptive=True, target_ess_frac=0.5,
+            n_temps=SMC_MAX_TEMPS, adaptive=True,
+            target_ess_frac=0.25,   # the r3-validated LJ55 setting — 0.5
+                                    # stalls the anneal inside the budget
             mcmc_steps=SMC_SWEEPS, step_size=0.01, n_leapfrog=5,
             chunk_temps=SMC_CHUNK, run_segment=retrying)
         assert float(res_smc.beta_history[-1]) > 1.0 - 1e-5, \

@@ -158,10 +158,15 @@ def test_two_process_train_e2e(tmp_path):
     assert outs[1].count("State saved") == 0
     rows = (tmp_path / "metrics_mh.csv").read_text().strip().splitlines()
     assert len(rows) == 4, rows                      # header + 3 epochs
+    header = rows[0].split(",")
+    i_bat = header.index("batches")
     losses = [float(r.split(",")[2]) for r in rows[1:]]
     assert all(np.isfinite(losses))
     # per-process shards (5 each) combined into ONE global batch of 10
-    assert all(int(r.split(",")[-1]) == 1 for r in rows[1:])
+    assert all(int(r.split(",")[i_bat]) == 1 for r in rows[1:])
+    # exact neighbor format (dense) -> runtime overflow counter reads 0
+    i_ovf = header.index("nbr_overflow")
+    assert all(int(r.split(",")[i_ovf]) == 0 for r in rows[1:])
     assert (tmp_path / "model_mh.cpt").exists()
 
     # --- 2-process flow-SMC from the checkpoint: particles sharded over

@@ -214,3 +214,79 @@ def test_driver_sample_atom_axis_rejects_unsupported(tmp_path):
     m = Main()
     with pytest.raises(NotImplementedError, match="atom-sharded"):
         m(str(path))
+
+
+def test_sharded_remc_matches_dense_batched(mesh2d):
+    """Atom-sharded REMC (batched shard_map densities, per-replica betas)
+    == the dense-batched run, to round-off (same seed)."""
+    from enflow_tpu.sample.remc import remc
+
+    n_atoms = 4
+    t = targets.lj_cluster(n_atoms, kBT=2.0, softening=0.1, e_cap=500.0)
+    prop_d, q0_d, p_d, _ = _fns(t, n_atoms)
+    prop_s, q0_s, p_s, _ = _fns(t, n_atoms, mesh=mesh2d)
+    K, M = 3, 8
+    betas = jnp.asarray([0.0, 0.5, 1.0])
+
+    def run(prop, q0, p):
+        @jax.jit
+        def go(key):
+            kp, ks = jax.random.split(key)
+            x0 = jax.tree_util.tree_map(
+                lambda a: a.reshape((K, M) + a.shape[1:]), prop(kp, K * M))
+            return remc(ks, x0, log_p=p, log_q0=q0, betas=betas,
+                        n_rounds=5, mcmc_steps=1, step_size=0.1,
+                        n_leapfrog=2, batched=True)
+        return go(jax.random.PRNGKey(13))
+
+    r_d = run(prop_d, q0_d, p_d)
+    r_s = run(prop_s, q0_s, p_s)
+    for k in r_d.samples:
+        np.testing.assert_allclose(np.asarray(r_s.samples[k]),
+                                   np.asarray(r_d.samples[k]), atol=1e-8,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(r_s.swap_accept),
+                               np.asarray(r_d.swap_accept), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_s.accept),
+                               np.asarray(r_d.accept), atol=1e-12)
+
+
+def test_driver_remc_atom_axis_with_mbar(tmp_path, capsys):
+    """Driver e2e: REMC + MBAR with parallel.atom_axis on the CPU mesh —
+    padded atoms trimmed, finite mbar_log_Z from the sharded densities."""
+    import yaml
+    from enflow_tpu.train.driver import Main
+
+    cfg = {
+        "mode": "sample",
+        "seed": 1,
+        "units": {"time": "pico", "dist": "ang"},
+        "parallel": {"atom_axis": 4},
+        "dynamics": {
+            "integrator": "lf", "n_iter": 2, "dt": 0.05,
+            "nbr_mode": "all_pairs",
+            "network": {"hidden_nf": 8, "node_nf": 3},
+            "checkpoint_path": "",
+        },
+        "sampling": {
+            "algo": "remc",
+            "target": {"type": "lj_cluster", "n_atoms": 6, "kBT": 2.0,
+                       "softening": 0.1, "e_cap": 1000.0},
+            "n_particles": 8, "n_temps": 3, "n_rounds": 6,
+            "discard_rounds": 2, "mcmc_steps": 1,
+            "step_size": 0.05, "n_leapfrog": 2,
+            "mbar": True, "mbar_pool_rounds": 2, "mbar_blocks": 2,
+            "output": str(tmp_path / "remc_sharded.npz"),
+            "metrics_csv": str(tmp_path / "remc_sharded.csv"),
+        },
+    }
+    path = tmp_path / "remc_sharded.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    m = Main()
+    m(str(path))
+    assert m.mesh.shape == {"data": 2, "atom": 4}
+    out = np.load(tmp_path / "remc_sharded.npz")
+    assert out["pos"].shape == (4, 8, 6, 3)     # kept rounds, trimmed atoms
+    assert np.isfinite(float(out["mbar_log_Z"]))
+    assert np.isfinite(out["pos"]).all()
+    assert "remc: 6 rounds x 8 chains x 3 temps" in capsys.readouterr().out

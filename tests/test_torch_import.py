@@ -142,7 +142,7 @@ def test_imported_flow_matches_raw_state_dict(tmp_path):
                      egcl=EGCLConfig(node_nf=NF, hidden_nf=HIDDEN))
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, DTYPE), params)
     s = make_system(rng)
-    out, ldj = _lf_forward(params, cfg, s)
+    out, ldj, _ = _lf_forward(params, cfg, s)
 
     ckpt = torch.load(path, weights_only=False)
     sd = ckpt["model_state_dict"]

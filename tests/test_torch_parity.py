@@ -125,7 +125,7 @@ def test_lf_flow_step_matches_torch():
     cfg = FlowConfig(n_iter=3, dt=0.07, egcl=EGCLConfig(node_nf=5, hidden_nf=8))
     params = init_flow(jax.random.PRNGKey(1), cfg, DTYPE)
 
-    out, ldj = _lf_forward(params, cfg, s)
+    out, ldj, _ = _lf_forward(params, cfg, s)
 
     for b in range(s.num_mols):
         h = t(s.h[b]).clone()
