@@ -1424,7 +1424,10 @@ class Main:
                         raise
                     counter["n"] += 1
                     eprint(f"device UNAVAILABLE mid-segment ({e}); "
-                           "retrying once", flush=True)
+                           "retrying in 5 s", flush=True)
+                    # an immediate re-dispatch re-hit the same transient
+                    # fault in testing (r4) — give the tunnel a beat
+                    time.sleep(5.0)
 
         return run, counter
 
@@ -1782,7 +1785,9 @@ class Main:
                 columns = np.concatenate(
                     [columns, np.tile(np.arange(M),
                                       int(lp2.shape[0]) // M)])
-            mres = jax.jit(mbar)(u_kn, counts)
+            n_it = int(sec.get("mbar_iters", 1000))
+            mres = jax.jit(lambda u, c: mbar(u, c, n_iter=n_it))(u_kn,
+                                                                 counts)
             mbar_out = {"mbar_f": np.asarray(mres.f),
                         "mbar_log_Z": -float(mres.f[-1] - mres.f[0]),
                         "mbar_converged": float(mres.converged)}
@@ -1791,7 +1796,7 @@ class Main:
             n_blocks = int(sec.get("mbar_blocks", 4))
             if n_blocks > 1 and M >= n_blocks:
                 blocks = mbar_block_log_z(u_kn, states, columns, K_m,
-                                          n_blocks=n_blocks)
+                                          n_blocks=n_blocks, n_iter=n_it)
                 mbar_out["mbar_log_Z_blocks"] = blocks
                 mbar_out["mbar_log_Z_se"] = float(
                     blocks.std(ddof=1) / np.sqrt(len(blocks)))

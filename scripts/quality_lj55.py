@@ -44,7 +44,7 @@ from enflow_tpu.nn.egcl import EGCLConfig  # noqa: E402
 from enflow_tpu.sample import dual_averaging_warmup, run_hmc, \
     systematic_resample, targets  # noqa: E402
 from enflow_tpu.sample.smc import smc_segments  # noqa: E402
-from enflow_tpu.sample.remc import remc  # noqa: E402
+from enflow_tpu.sample.remc import remc_segments  # noqa: E402
 from enflow_tpu.sample.mbar import mbar, mbar_block_log_z, \
     mbar_from_remc  # noqa: E402
 from enflow_tpu.sample.vi import flow_vi_loss, make_system_target, \
@@ -52,14 +52,20 @@ from enflow_tpu.sample.vi import flow_vi_loss, make_system_target, \
 
 N_ATOMS, NODE_NF, HIDDEN, FLOW_STEPS = 55, 5, 128, 5
 KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
-VI_STEPS, VI_P = 4000, 256            # = vi_lj55.yaml 40 epochs x 100
+VI_STEPS, VI_P = 8000, 256            # 2x vi_lj55.yaml (40ep x 100): the
+                                      # 4000-step flow left SMC ~19 sigma
+                                      # off HMC moments (measured r4)
 VI_ANNEAL = 2500                      # 25 epochs
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
-SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 2, 8
+SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 3, 8
 SMC_REPS = 6
-REMC_K, REMC_M, REMC_ROUNDS, REMC_DISCARD = 6, 170, 60, 30
+REMC_K, REMC_M, REMC_ROUNDS, REMC_DISCARD = 16, 64, 120, 60
 
 DTYPE = jnp.float32
+# optional cross-invocation cache of the trained VI params (skip the ~7 min
+# retrain when iterating on the sampler stages); empty string disables
+import os as _os
+VI_CACHE = _os.environ.get("QLJ55_VI_CACHE", "")
 
 
 def observables(pos):
@@ -88,16 +94,19 @@ def moments_chains(samples):
 
 
 def retrying(f, *a):
-    for attempt in (0, 1):
+    for attempt in range(3):
         try:
             out = f(*a)
             jax.block_until_ready(out)
             return out
         except Exception as e:
-            if "UNAVAILABLE" not in str(e) or attempt:
+            if "UNAVAILABLE" not in str(e) or attempt == 2:
                 raise
-            print(f"# device UNAVAILABLE; retrying segment: {e}",
+            # back off before re-dispatching: an IMMEDIATE retry re-hit the
+            # same fault once (r4) — the tunnel needs a beat to recover
+            print(f"# device UNAVAILABLE; retrying in 5 s: {e}",
                   file=sys.stderr, flush=True)
+            time.sleep(5.0)
 
 
 def main():
@@ -143,7 +152,18 @@ def main():
         upd, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, loss
 
-    for i in range(VI_STEPS):
+    import os
+    if VI_CACHE and os.path.exists(VI_CACHE):
+        with np.load(VI_CACHE) as z:
+            flat, tree = jax.tree_util.tree_flatten(params)
+            params = jax.tree_util.tree_unflatten(
+                tree, [jnp.asarray(z[f"p{i}"]) for i in range(len(flat))])
+        print(f"# VI params loaded from {VI_CACHE}", file=sys.stderr,
+              flush=True)
+        vi_steps = 0
+    else:
+        vi_steps = VI_STEPS
+    for i in range(vi_steps):
         frac = max(0.0, 1.0 - i / VI_ANNEAL)
         soft = 0.2 * frac
         cap = 1.0 / (frac / 200.0 + (1.0 - frac) / E_CAP)
@@ -153,12 +173,17 @@ def main():
             print(f"# VI step {i}: loss {float(loss):.1f} "
                   f"(soft {soft:.3f}, cap {cap:.0f}, "
                   f"t={time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
-    loss.block_until_ready()
+    if vi_steps:
+        loss.block_until_ready()
+        final_loss = float(loss)
+        print(f"# VI done in {time.time() - t0:.0f} s, final loss "
+              f"{final_loss:.1f}", file=sys.stderr, flush=True)
+        assert np.isfinite(final_loss), "VI diverged (NaN loss)"
     t_vi = time.time() - t0
-    final_loss = float(loss)
-    print(f"# VI done in {t_vi:.0f} s, final loss {final_loss:.1f}",
-          file=sys.stderr, flush=True)
-    assert np.isfinite(final_loss), "VI diverged (NaN loss)"
+    if VI_CACHE and vi_steps:
+        flat, tree = jax.tree_util.tree_flatten(params)
+        np.savez(VI_CACHE, **{f"p{i}": np.asarray(l)
+                              for i, l in enumerate(flat)})
 
     # ---- 2. replicated chunked flow-SMC ----------------------------------
     mask = jnp.ones((1, N_ATOMS), bool)
@@ -204,6 +229,7 @@ def main():
             target_ess_frac=0.25,   # the r3-validated LJ55 setting — 0.5
                                     # stalls the anneal inside the budget
             mcmc_steps=SMC_SWEEPS, step_size=0.01, n_leapfrog=5,
+            adapt_step=True, target_accept=0.65, precondition=True,
             chunk_temps=SMC_CHUNK, run_segment=retrying)
         assert float(res_smc.beta_history[-1]) > 1.0 - 1e-5, \
             "anneal incomplete — raise SMC_MAX_TEMPS"
@@ -240,9 +266,17 @@ def main():
           flush=True)
 
     # ---- 4. flow-bridged REMC + MBAR log_Z -------------------------------
+    # K=12 ladder: N=55 energy fluctuations pinch coarse ladders (a K=6
+    # geomspace measured swap acceptances collapsing 0.44 -> 0.06 downhill)
     betas = jnp.concatenate([jnp.zeros((1,)),
-                             jnp.geomspace(0.05, 1.0, REMC_K - 1)])
+                             jnp.geomspace(0.02, 1.0, REMC_K - 1)])
     betas = betas.at[-1].set(1.0).astype(DTYPE)
+    # per-slot leapfrog steps: cold slots need the dual-averaged beta=1
+    # scale (~0.03) while hot slots mix faster with bigger moves — a single
+    # 0.01 step left the K=12 ladder's cold swaps at 0.08 (r4 measurement)
+    remc_steps = jnp.concatenate(
+        [jnp.asarray([0.2]), jnp.geomspace(0.15, 0.03, REMC_K - 1)]
+    ).astype(DTYPE)
 
     @jax.jit
     def draw_remc(kk):
@@ -261,12 +295,15 @@ def main():
             lambda a: a.reshape((REMC_K, REMC_M) + a.shape[1:]), x)
 
     x0r = retrying(draw_remc, jax.random.PRNGKey(7))
-    res_r = retrying(
-        jax.jit(lambda k, x: remc(k, x, log_p=log_p, log_q0=log_q0,
-                                  betas=betas, n_rounds=REMC_ROUNDS,
-                                  mcmc_steps=1, step_size=0.01,
-                                  n_leapfrog=5)),
-        jax.random.PRNGKey(8), x0r)
+    # chunked (remc_segments): the monolithic 120-round program is a
+    # ~60-90 s single execution, which RELIABLY faults on this tunnel
+    # (3/3 attempts incl. backoff, r4) — bounded per-program segments with
+    # per-segment retry are the fix the hazard note prescribes
+    res_r = remc_segments(
+        jax.random.PRNGKey(8), x0r, log_p=log_p, log_q0=log_q0,
+        betas=betas, n_rounds=REMC_ROUNDS, mcmc_steps=1,
+        step_size=remc_steps, n_leapfrog=5, chunk_rounds=10,
+        run_segment=retrying)
     u_kn, counts = mbar_from_remc(res_r, log_p, log_q0)
     states = np.repeat(np.arange(REMC_K), REMC_M)
     columns = np.tile(np.arange(REMC_M), REMC_K)
@@ -288,9 +325,12 @@ def main():
     columns = np.concatenate(
         [columns, np.tile(np.arange(REMC_M),
                           int(lp2.shape[0]) // REMC_M)])
-    mres = jax.jit(mbar)(u_kn, counts)
+    # 200 self-consistent iterations leave ~0.24 nats/iter residual on the
+    # ~300-nat LJ55 ladder span (measured) — iterate until flat
+    mres = jax.jit(lambda u, c: mbar(u, c, n_iter=8000))(u_kn, counts)
     mbar_log_Z = -float(mres.f[-1] - mres.f[0])
-    blocks = mbar_block_log_z(u_kn, states, columns, REMC_K, n_blocks=4)
+    blocks = mbar_block_log_z(u_kn, states, columns, REMC_K, n_blocks=4,
+                              n_iter=8000)
     t_remc = time.time() - t0 - t_vi - t_smc - t_hmc
 
     sig = lambda a, b, sa, sb: abs(a - b) / max((sa ** 2 + sb ** 2) ** 0.5,

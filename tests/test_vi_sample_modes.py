@@ -681,7 +681,7 @@ def test_driver_chunked_smc_retries_on_unavailable(tmp_path, capsys):
     finally:
         jax_mod.block_until_ready = orig_bur
     out = capsys.readouterr()
-    assert "retrying once" in out.err
+    assert "retrying in 5 s" in out.err
     assert "retries=1" in out.out
 
     rows = (tmp_path / "retry.csv").read_text().strip().splitlines()
