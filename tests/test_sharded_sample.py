@@ -204,7 +204,7 @@ def test_driver_sample_atom_axis_rejects_unsupported(tmp_path):
             "checkpoint_path": "",
         },
         "sampling": {
-            "algo": "remc",
+            "algo": "hmc",
             "target": {"type": "lj_cluster", "n_atoms": 4, "kBT": 2.0},
             "n_particles": 8,
         },
