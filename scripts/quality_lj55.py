@@ -50,11 +50,18 @@ from enflow_tpu.sample.mbar import mbar, mbar_block_log_z, \
 from enflow_tpu.sample.vi import flow_vi_loss, make_system_target, \
     sample_base  # noqa: E402
 
-N_ATOMS, NODE_NF, HIDDEN, FLOW_STEPS = 55, 5, 128, 5
+import os as _os
+
+N_ATOMS, NODE_NF = 55, 5
+# flow-capacity study knobs (env-overridable): the r4 finding is that flow
+# capacity/training binds LJ55 quality, so these are the dials to sweep
+HIDDEN = int(_os.environ.get("QLJ55_HIDDEN", 128))
+FLOW_STEPS = int(_os.environ.get("QLJ55_FLOW_STEPS", 5))
 KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
-VI_STEPS, VI_P = 8000, 256            # 2x vi_lj55.yaml (40ep x 100): the
-                                      # 4000-step flow left SMC ~19 sigma
-                                      # off HMC moments (measured r4)
+VI_STEPS = int(_os.environ.get("QLJ55_VI_STEPS", 8000))
+VI_P = 256                            # 8000 = 2x vi_lj55.yaml: the 4000-
+                                      # step flow left SMC ~19 sigma off
+                                      # HMC moments (measured r4)
 VI_ANNEAL = 2500                      # 25 epochs
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 3, 8
@@ -339,6 +346,8 @@ def main():
         np.std(logzs, ddof=1) / np.sqrt(len(logzs)))
     print(json.dumps({
         "metric": "lj55_quality",
+        "flow": {"hidden": HIDDEN, "flow_steps": FLOW_STEPS,
+                 "vi_steps": VI_STEPS},
         "hmc": m_hmc, "smc": m_smc,
         "U_sigma": round(sig(m_hmc["U"], m_smc["U"], m_hmc["U_se"],
                              m_smc["U_se"]), 2),

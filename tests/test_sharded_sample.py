@@ -6,6 +6,8 @@ the SAME builder with ``mesh=None`` — identical draw order and formulas, so
 same-seed runs agree to reduction-order round-off (f64 on the CPU mesh).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -290,3 +292,71 @@ def test_driver_remc_atom_axis_with_mbar(tmp_path, capsys):
     assert np.isfinite(float(out["mbar_log_Z"]))
     assert np.isfinite(out["pos"]).all()
     assert "remc: 6 rounds x 8 chains x 3 temps" in capsys.readouterr().out
+
+
+def test_driver_chunked_atom_sharded_smc_matches_monolithic(tmp_path):
+    """chunk_temps composes with parallel.atom_axis: segmented 2-D-sharded
+    SMC == the monolithic 2-D-sharded run bitwise, and a checkpointed kill
+    resumes through the canonical resharding path."""
+    import yaml
+    from enflow_tpu.train.driver import Main
+
+    def cfg(out_name, **extra):
+        return {
+            "mode": "sample",
+            "seed": 2,
+            "units": {"time": "pico", "dist": "ang"},
+            "parallel": {"atom_axis": 2},
+            "dynamics": {
+                "integrator": "lf", "n_iter": 2, "dt": 0.05,
+                "nbr_mode": "all_pairs",
+                "network": {"hidden_nf": 8, "node_nf": 3},
+                "checkpoint_path": "",
+            },
+            "sampling": {
+                "algo": "smc",
+                "target": {"type": "lj_cluster", "n_atoms": 5, "kBT": 2.0,
+                           "softening": 0.1, "e_cap": 1000.0},
+                "n_particles": 16, "n_temps": 4, "mcmc_steps": 1,
+                "step_size": 0.05, "n_leapfrog": 2,
+                "output": str(tmp_path / out_name),
+                **extra,
+            },
+        }
+
+    def run(c, name):
+        path = tmp_path / name
+        path.write_text(yaml.safe_dump(c))
+        Main()(str(path))
+
+    run(cfg("mono.npz"), "mono.yaml")
+    run(cfg("chunk.npz", chunk_temps=2), "chunk.yaml")
+    a, b = np.load(tmp_path / "mono.npz"), np.load(tmp_path / "chunk.npz")
+    for k in ("pos", "log_weights", "log_Z", "ess_history"):
+        np.testing.assert_array_equal(b[k], a[k], err_msg=k)
+
+    # kill-after-checkpoint + resume through _load_sample_state's 2-D
+    # resharding; weights may differ by reduction-order ulps
+    kill_cfg = cfg("resumed.npz", chunk_temps=2, checkpoint_every=2)
+    state_file = str(tmp_path / "resumed.npz") + ".state.npz"
+    orig = Main._save_sample_state
+
+    class Killed(RuntimeError):
+        pass
+
+    def save_then_die(self, path, stage, state, hists):
+        orig(self, path, stage, state, hists)
+        raise Killed("simulated kill")
+
+    Main._save_sample_state = save_then_die
+    try:
+        with pytest.raises(Killed):
+            run(kill_cfg, "kill.yaml")
+    finally:
+        Main._save_sample_state = orig
+    assert os.path.exists(state_file)
+    run(kill_cfg, "kill.yaml")
+    c = np.load(tmp_path / "resumed.npz")
+    np.testing.assert_array_equal(c["pos"], a["pos"])
+    np.testing.assert_allclose(c["log_weights"], a["log_weights"],
+                               rtol=1e-12)
