@@ -58,11 +58,13 @@ N_ATOMS, NODE_NF = 55, 5
 HIDDEN = int(_os.environ.get("QLJ55_HIDDEN", 128))
 FLOW_STEPS = int(_os.environ.get("QLJ55_FLOW_STEPS", 5))
 KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
-VI_STEPS = int(_os.environ.get("QLJ55_VI_STEPS", 8000))
+VI_STEPS = int(_os.environ.get("QLJS5_VI_STEPS",
+                               _os.environ.get("QLJ55_VI_STEPS", 8000)))
 VI_P = 256                            # 8000 = 2x vi_lj55.yaml: the 4000-
                                       # step flow left SMC ~19 sigma off
                                       # HMC moments (measured r4)
-VI_ANNEAL = 2500                      # 25 epochs
+VI_ANNEAL = int(_os.environ.get("QLJ55_VI_ANNEAL", 2500))   # 25 epochs
+VI_LR = float(_os.environ.get("QLJ55_VI_LR", 1e-3))
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 3, 8
 SMC_REPS = 6
@@ -142,7 +144,7 @@ def main():
             lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0),
             updates)),
         optax.clip_by_global_norm(5.0),
-        optax.adam(1e-3))
+        optax.adam(VI_LR))
     opt_state = opt.init(params)
 
     def sys_target(soft, cap):

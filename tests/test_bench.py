@@ -49,3 +49,33 @@ def test_timed_rate_contract():
     r1 = bench.timed_rate(run, 8, repeats=1, tpu_opts=False,
                           spread_repeats=0)
     assert r1.times == []
+
+
+def test_analytic_flop_model_and_fields():
+    """The analytic matmul model is exact arithmetic (spot-check the edge
+    MLP term) and flops_fields uses it for the MFU headline, keeping the
+    XLA cost-model tally as reference only (it undercounts scan bodies)."""
+    F = bench.analytic_flow_flops(P=2, n_atoms=3, node_nf=2, hidden=4,
+                                  flow_steps=1)
+    E, BN, H, nf = 2 * 9, 2 * 3, 4, 2
+    expect = (2 * E * ((2 * nf + 1) * H + H * H)       # edge_nn
+              + 2 * E * (H * H + H)                    # coord_nn
+              + 2 * BN * ((H + nf) * H + H * nf)       # node_nn
+              + 2 * BN * (nf * H + H))                 # vel_nn
+    assert F == float(expect)
+
+    S = bench.analytic_smc_flops(P=2, n_atoms=3, n_temps=4, mcmc_steps=1,
+                                 n_leapfrog=2, node_nf=2, hidden=4,
+                                 flow_steps=1)
+    assert S == F * (1 + 4.0 * (1 + 4 * 1 * 2))
+
+    r = bench.RateResult(rate=1.0, ess_rate=1.0, log_Z=0.0, dt=2.0,
+                         times=[], compile_s=1.0, flops=123e9)
+    out = bench.flops_fields(r, "TPU v5 lite0", analytic_flops=394e12)
+    assert out["program_gflop_analytic"] == 394000.0
+    assert out["tflop_per_s"] == 197.0
+    assert out["mfu_vs_bf16_peak"] == 1.0          # 197e12 peak for v5e
+    assert out["program_gflop_xla_cost_model"] == 123.0
+    # no analytic model -> only the reference tally
+    out2 = bench.flops_fields(r, "TPU v5 lite0")
+    assert "tflop_per_s" not in out2 and "program_gflop_xla_cost_model" in out2
