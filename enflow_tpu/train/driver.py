@@ -1643,6 +1643,14 @@ class Main:
 
         apply_d = ((lambda f: f) if batched
                    else (lambda f: jax.vmap(f)))
+        if sec.get("mbar") and batched and self.num_processes > 1:
+            raise NotImplementedError(
+                "sampling.mbar with parallel.atom_axis in a multi-process "
+                "run is not supported yet: the MBAR pass evaluates the "
+                "densities on gathered host arrays, and the atom-sharded "
+                "densities are shard_map programs over the global mesh. "
+                "Run the REMC without mbar, or compute MBAR in a "
+                "single-process analysis pass over the saved samples.")
 
         betas = sec.get("betas")
         if betas is not None:

@@ -187,7 +187,15 @@ def main():
         final_loss = float(loss)
         print(f"# VI done in {time.time() - t0:.0f} s, final loss "
               f"{final_loss:.1f}", file=sys.stderr, flush=True)
-        assert np.isfinite(final_loss), "VI diverged (NaN loss)"
+        # divergence check on the PARAMS, not the last batch: a single
+        # poisoned draw can NaN one batch loss (the optimizer guard skips
+        # it) without the flow being broken — evaluate a fresh batch
+        eval_batch = sample_base(jax.random.PRNGKey(999), VI_P, N_ATOMS,
+                                 NODE_NF, box=1e3, r_cut=1e2, dtype=DTYPE)
+        eval_loss = float(jax.jit(lambda p: flow_vi_loss(
+            p, cfg, eval_batch, sys_target(0.0, E_CAP))[0])(params))
+        print(f"# VI eval loss {eval_loss:.1f}", file=sys.stderr, flush=True)
+        assert np.isfinite(eval_loss), "VI diverged (NaN params)"
     t_vi = time.time() - t0
     if VI_CACHE and vi_steps:
         flat, tree = jax.tree_util.tree_flatten(params)
