@@ -247,7 +247,8 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
                   n_leapfrog: int = 5, batched: bool = False,
                   chunk_rounds: int = 8,
                   run_segment=None, on_segment=None, start_round: int = 0,
-                  init_state=None, init_outs=None) -> REMCResult:
+                  init_state=None, init_outs=None,
+                  compiler_options=None) -> REMCResult:
     """:func:`remc` executed as bounded per-program segments (the REMC half
     of VERDICT r3 item 4 — same contract as ``smc.smc_segments``).
 
@@ -272,11 +273,14 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
                                 mcmc_steps, n_leapfrog, batched=batched)
 
-    @jax.jit
+    jj = (lambda g: jax.jit(g, compiler_options=compiler_options)) \
+        if compiler_options else jax.jit
+
+    @jj
     def init_fn(x0):
         return (x0,) + _init_remc_caches(log_q0, log_p, x0, batched=batched)
 
-    @jax.jit
+    @jj
     def seg_fn(carry, rounds):
         return jax.lax.scan(one_round, carry, rounds)
 

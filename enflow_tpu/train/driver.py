@@ -302,6 +302,16 @@ class Main:
         elif nbr_capacity is not None:
             nbr_capacity = int(nbr_capacity)
 
+        # optional XLA compiler options for the hot jitted programs
+        # (dynamics.compiler_options: {flag: value}). Measured win:
+        # xla_tpu_scoped_vmem_limit_kib "49152" is -16% per SMC at LJ55
+        # shapes ("32768" is the LJ13 optimum — RESULTS.md r2/r4 sweeps).
+        # TPU-only: these flags are rejected client-side on cpu/gpu.
+        co = dyn.get("compiler_options")
+        self.compiler_options = None
+        if co and jax.devices()[0].platform not in ("cpu", "gpu"):
+            self.compiler_options = {str(k): str(v) for k, v in co.items()}
+
         # flow model. EGCL variant flags are YAML-reachable here (the
         # reference defines attention/norm_diff/tanh but never wires them,
         # egcl.py:11 vs main.py:151).
@@ -631,6 +641,12 @@ class Main:
                        "`nbr_overflow`) will report any truncation",
                        flush=True)
 
+    def _jit(self, f):
+        """``jax.jit`` with ``dynamics.compiler_options`` applied (TPU)."""
+        if self.compiler_options:
+            return jax.jit(f, compiler_options=self.compiler_options)
+        return jax.jit(f)
+
     def _make_train_step(self):
         cfg = self.flow_cfg
         kBT, soft = self.lj_kBT, self.softening
@@ -673,7 +689,7 @@ class Main:
                                       pair_impl=pair_impl), \
                     jnp.zeros((), jnp.int32)
 
-        @jax.jit
+        @self._jit
         def train_step(params, opt_state, batch, key):
             (loss, ovf), grads = jax.value_and_grad(nll_fn, has_aux=True)(
                 params, batch, key)
@@ -1233,7 +1249,7 @@ class Main:
             res, n_retries = self._run_smc_chunked(
                 sec, propose, P, knobs, chunk or ckpt_every, ckpt_every)
         else:
-            @jax.jit
+            @self._jit
             def run(key):
                 kp, ks = jax.random.split(key)
                 x0 = propose(kp, P)
@@ -1393,11 +1409,12 @@ class Main:
         kp, ks = jax.random.split(key)
         x0 = None
         if init_state is None:
-            x0 = run_segment(jax.jit(lambda k: propose(k, P)), kp)
+            x0 = run_segment(self._jit(lambda k: propose(k, P)), kp)
         res = smc_segments(ks, x0, chunk_temps=chunk,
                            run_segment=run_segment, on_segment=on_segment,
                            start_stage=start_stage, init_state=init_state,
-                           init_hists=init_hists, **knobs)
+                           init_hists=init_hists,
+                           compiler_options=self.compiler_options, **knobs)
         if ckpt_every and self.is_main and os.path.exists(state_file):
             os.remove(state_file)       # completed runs must not resume
         if retries["n"] and self.is_main:
@@ -1693,7 +1710,7 @@ class Main:
 
             run_segment, retries = self._retrying_runner()
 
-            @jax.jit
+            @self._jit
             def draw(kp):
                 # independent per-slot draws, reshaped (see below)
                 return jax.tree_util.tree_map(
@@ -1707,10 +1724,11 @@ class Main:
                 n_rounds=n_rounds, mcmc_steps=int(sec.get("mcmc_steps", 1)),
                 step_size=step_size,
                 n_leapfrog=int(sec.get("n_leapfrog", 5)), batched=batched,
-                chunk_rounds=chunk, run_segment=run_segment)
+                chunk_rounds=chunk, run_segment=run_segment,
+                compiler_options=self.compiler_options)
             n_retries = retries["n"]
         else:
-            @jax.jit
+            @self._jit
             def run(key):
                 kp, ks = jax.random.split(key)
                 # INDEPENDENT flow draws per ladder slot (not

@@ -731,3 +731,18 @@ def test_driver_chunked_remc_matches_monolithic(tmp_path, capsys):
     b = np.load(tmp_path / "remc_chunk.npz")
     for k in ("pos", "vel", "h", "g", "swap_accept", "accept", "betas"):
         np.testing.assert_array_equal(b[k], a[k], err_msg=k)
+
+
+def test_compiler_options_parsed_and_ignored_on_cpu(tmp_path, capsys):
+    """dynamics.compiler_options: parsed, applied only on TPU-class
+    backends (TPU flags are rejected client-side on cpu), and harmless in
+    a full CPU sample run."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi.yaml")
+    sample_cfg = _chunk_sample_cfg(tmp_path, cfg, "co.npz", chunk_temps=2)
+    sample_cfg["dynamics"]["compiler_options"] = {
+        "xla_tpu_scoped_vmem_limit_kib": "49152"}
+    m = run_main(tmp_path, sample_cfg, "co.yaml")
+    capsys.readouterr()
+    assert m.compiler_options is None           # cpu backend -> ignored
+    assert np.isfinite(float(np.load(tmp_path / "co.npz")["log_Z"]))
