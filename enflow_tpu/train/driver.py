@@ -900,7 +900,7 @@ class Main:
             return (optax.apply_updates(params, updates), opt_state2, loss,
                     1.0 - finite.astype(loss.dtype))
 
-        vi_step = jax.jit(one_step)
+        vi_step = self._jit(one_step)
 
         # fused epoch (opt-in): all steps_per_epoch optimizer steps in ONE
         # device program (lax.scan over the step index); keys are
@@ -911,7 +911,7 @@ class Main:
         # against 21 ms steps) while the scanned program pays its own large
         # remote compile. Worth enabling only when per-step device time is
         # tiny (small flows) or dispatch latency is extreme.
-        @jax.jit
+        @self._jit
         def vi_epoch(params, opt_state, epoch_key, soft, cap):
             def body(carry, i):
                 params, opt_state = carry
@@ -1576,7 +1576,7 @@ class Main:
         thin = int(sec.get("thin", 1))
         step_size = float(sec.get("step_size", 0.02))
         kp, kw, kr = jax.random.split(jax.random.PRNGKey(self.seed + 31), 3)
-        x0 = jax.jit(propose)(kp)
+        x0 = self._jit(propose)(kp)
         extra_info = {}
 
         if algo == "hmc":
@@ -1589,7 +1589,7 @@ class Main:
                     init_step_size=step_size))(kw, x0)
                 step_size = float(eps)
                 n_warmup = 0
-            res = jax.jit(lambda k, x: mcmc_lib.run_hmc(
+            res = self._jit(lambda k, x: mcmc_lib.run_hmc(
                 k, x, log_p, n_samples=n_samples, n_warmup=n_warmup,
                 step_size=step_size, n_leapfrog=n_leapfrog, thin=thin))(
                 kr, x0)
@@ -1597,7 +1597,7 @@ class Main:
             extra_info = {"accept_rate": np.asarray(res.accept_rate),
                           "step_size": step_size}
         elif algo == "mala":
-            res = jax.jit(lambda k, x: mcmc_lib.run_mala(
+            res = self._jit(lambda k, x: mcmc_lib.run_mala(
                 k, x, log_p, n_samples=n_samples, n_warmup=n_warmup,
                 step_size=step_size, thin=thin))(kr, x0)
             samples = res.samples
@@ -1609,7 +1609,7 @@ class Main:
             one = jax.tree_util.tree_map(lambda a: a[0], x0)
             _, unravel = ravel_pytree(one)
             flat0 = jax.vmap(lambda xx: ravel_pytree(xx)[0])(x0)
-            res = jax.jit(lambda k, x: run_nuts(
+            res = self._jit(lambda k, x: run_nuts(
                 k, x, lambda v: log_p(unravel(v)), n_samples=n_samples,
                 n_warmup=n_warmup, step_size=step_size,
                 max_depth=int(sec.get("max_depth", 8))))(kr, flat0)
