@@ -90,6 +90,35 @@ class FlowConfig:
     # by flow/sharded.py, not by hand: every function here then assumes it
     # is executing inside shard_map with per-shard [B, N/P, ...] blocks.
     axis_name: Optional[str] = None
+    # Position drift family (LF only):
+    #   'shift'   — reference drift ``pos += vel*dt`` (volume-preserving).
+    #   'coupled' — L2HMC-style learned drift (Levy et al. 2017 pattern,
+    #     re-derived for the EGCL flow): a SECOND per-step EGCL evaluated on
+    #     *velocity-space* geometry (vel as the coordinates) emits a per-atom
+    #     log-scale S and an equivariant shift Fp, and the drift becomes
+    #         pos' = exp(S) * pos + (vel + Fp) * dt,   ldj += 3*sum(S).
+    #     Exactly invertible (the conditioner reads only (vel, h), both
+    #     unchanged by the drift), rotation-equivariant (S invariant, Fp
+    #     equivariant), and zero-initialized (S head zeroed, Fp gate gain
+    #     1e-3) so it starts as the plain shift flow. Motivation: at the
+    #     committed sampler recipes (dt ~ 0.007, 5 steps) the shift drift
+    #     can move positions at most ~n_iter*dt*|vel| ~ 0.04 sigma from the
+    #     base draw — the r4 LJ55 quality gate showed the resulting proposal
+    #     misses the compact phase entirely (SMC 15 sigma off HMC moments at
+    #     healthy ESS). The learned scale gives the flow direct, global
+    #     control over the position distribution's radial profile. Intended
+    #     for open-boundary/cluster targets: the scale does not commute with
+    #     PBC wrapping (fine when box >> |pos|, as in the cluster recipes,
+    #     where .pbc() is the identity).
+    position_update: str = "shift"
+    # Soft bound on the coupled drift's per-atom log-scale: the applied
+    # scale is ``S = pos_scale_max * tanh(S_raw / pos_scale_max)`` (the
+    # standard L2HMC bounded-scale form; identity slope at 0, so the
+    # zero-init reduction to the shift flow is unchanged). Unbounded S
+    # diverged in anger: the first LJ55 coupled-VI run NaN'd at step ~1000
+    # once exp(S)*pos overflowed |pos|^2 in f32. e^±3 spans [0.05, 20] —
+    # far more radial range than any cluster recipe needs.
+    pos_scale_max: float = 3.0
     # Return a runtime neighbor-truncation counter from forward/reverse
     # (one masked reduce per neighbor build; data/neighbors.py). The
     # one-time startup capacity validation samples INITIAL configurations
@@ -116,7 +145,13 @@ def _stack(pytrees):
 
 
 def init_flow(key, cfg: FlowConfig, dtype=jnp.float32):
-    """Initialize flow params: stacked per-step EGCLs + dequantizer."""
+    """Initialize flow params: stacked per-step EGCLs + dequantizer.
+
+    ``position_update='coupled'`` adds ``pos_networks`` — one EGCL per LF
+    step evaluated on velocity-space geometry (see ``FlowConfig``), with the
+    S head (``vel_scaling_nn`` output layer) zeroed so the fresh flow is
+    exactly the plain shift flow.
+    """
     nkey, dkey = jax.random.split(key)
     net_keys = jax.random.split(nkey, cfg.num_networks)
     networks = _stack([init_egcl(k, cfg.egcl, dtype) for k in net_keys])
@@ -127,7 +162,33 @@ def init_flow(key, cfg: FlowConfig, dtype=jnp.float32):
         dequant = floor_deq.init_floor()
     else:
         raise ValueError(cfg.dequantizer)
-    return {"networks": networks, "dequant": dequant}
+    params = {"networks": networks, "dequant": dequant}
+    if cfg.position_update == "coupled":
+        if cfg.integrator != "lf":
+            raise ValueError(
+                "position_update='coupled' is implemented for the leapfrog "
+                "integrator only")
+
+        def zeroed(p):
+            # zero the S head's and Fp gate's output layers: the fresh
+            # coupled flow is EXACTLY the shift flow (S == 0, Fp == 0);
+            # gradients still flow (their inputs are nonzero) — standard
+            # zero-init of output heads
+            for head in ("vel_scaling_nn", "coord_nn"):
+                p[head][-1] = jax.tree_util.tree_map(
+                    jnp.zeros_like, p[head][-1])
+            return p
+
+        # derived via fold_in, NOT a wider split of `key`: the existing
+        # shift-flow parameter streams must stay bit-identical (checkpoint
+        # and golden-test compatibility)
+        pos_keys = jax.random.split(jax.random.fold_in(key, 0xC0),
+                                    cfg.n_iter)
+        params["pos_networks"] = _stack(
+            [zeroed(init_egcl(k, cfg.egcl, dtype)) for k in pos_keys])
+    elif cfg.position_update != "shift":
+        raise ValueError(cfg.position_update)
+    return params
 
 
 def _dequant_forward(params, cfg, h, mask, key):
@@ -207,36 +268,77 @@ def _maybe_remat(cfg, step):
     return jax.checkpoint(step, policy=policy)
 
 
+def _lf_xs(params, cfg: FlowConfig):
+    """Per-step scan inputs: the kick EGCLs, plus the drift EGCLs when the
+    coupled position update is on."""
+    if cfg.position_update == "coupled":
+        return (params["networks"], params["pos_networks"])
+    return params["networks"]
+
+
+def _drift_egcl(params, cfg: FlowConfig, pnet, s: System):
+    """Evaluate the drift EGCL on velocity-space geometry.
+
+    The conditioner sees only ``(vel, h)`` — quantities the drift itself
+    leaves unchanged — so forward and reverse reproduce the identical
+    ``(S, Fp)`` and the coupling inverts exactly. Neighbor selection (and,
+    in ring mode, the shard rotation) runs on ``vel`` as the coordinates;
+    the cluster recipes use ``all_pairs`` where that is exact."""
+    (S, Fp, _), ovf = _egcl_at(params, cfg, pnet, s.replace(pos=s.vel))
+    m = jnp.asarray(cfg.pos_scale_max, S.dtype)
+    return m * jnp.tanh(S / m), Fp, ovf
+
+
 def _lf_forward(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
+    coupled = cfg.position_update == "coupled"
 
-    def step(s: System, net):
+    def step(s: System, nets):
+        net, pnet = nets if coupled else (nets, None)
         (Q, F, G), ovf = _egcl_at(params, cfg, net, s)
         vel = jnp.exp(Q) * s.vel + F * dt
         g = s.g + G * dt
-        s = s.replace(vel=vel, g=g, pos=s.pos + vel * dt).pbc()
+        ldj = _ldj_sum(cfg, Q)
+        if coupled:
+            S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s.replace(vel=vel))
+            pos = jnp.exp(S) * s.pos + (vel + Fp) * dt
+            ldj = ldj + _ldj_sum(cfg, S)
+            ovf = ovf + ovf2
+        else:
+            pos = s.pos + vel * dt
+        s = s.replace(vel=vel, g=g, pos=pos).pbc()
         s = s.replace(h=s.h + s.g * dt)
-        return s, (_ldj_sum(cfg, Q), ovf)
+        return s, (ldj, ovf)
 
     sys, (ldj_steps, ovf_steps) = jax.lax.scan(
-        _maybe_remat(cfg, step), sys, params["networks"],
+        _maybe_remat(cfg, step), sys, _lf_xs(params, cfg),
         unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0), ovf_steps.sum()
 
 
 def _lf_reverse(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
+    coupled = cfg.position_update == "coupled"
 
-    def step(s: System, net):
+    def step(s: System, nets):
+        net, pnet = nets if coupled else (nets, None)
         s = s.replace(h=s.h - s.g * dt)
-        s = s.replace(pos=s.pos - s.vel * dt).pbc()
+        if coupled:
+            S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s)
+            pos = (s.pos - (s.vel + Fp) * dt) * jnp.exp(-S)
+            ldj2 = -_ldj_sum(cfg, S)
+            s = s.replace(pos=pos).pbc()
+        else:
+            s = s.replace(pos=s.pos - s.vel * dt).pbc()
+            ldj2, ovf2 = 0.0, 0
         (Q, F, G), ovf = _egcl_at(params, cfg, net, s)
         g = s.g - G * dt
         vel = (s.vel - F * dt) / jnp.exp(Q)
-        return s.replace(g=g, vel=vel), (-_ldj_sum(cfg, Q), ovf)
+        return s.replace(g=g, vel=vel), (-_ldj_sum(cfg, Q) + ldj2,
+                                         ovf + ovf2)
 
     sys, (ldj_steps, ovf_steps) = jax.lax.scan(
-        _maybe_remat(cfg, step), sys, params["networks"], reverse=True,
+        _maybe_remat(cfg, step), sys, _lf_xs(params, cfg), reverse=True,
         unroll=cfg.scan_unroll)
     return sys, ldj_steps.sum(axis=0), ovf_steps.sum()
 

@@ -337,6 +337,11 @@ class Main:
             remat_policy=dyn.get("remat_policy"),
             scan_unroll=int(dyn.get("scan_unroll", 1)),
             dequant_scale=self.dequant_scale,
+            # 'shift' (reference drift) | 'coupled' (learned L2HMC-style
+            # scale+shift drift with a second per-step EGCL on velocity
+            # geometry — flow/integrators.py FlowConfig docs; the r4 LJ55
+            # flow-capacity fix)
+            position_update=dyn.get("position_update", "shift"),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)
@@ -836,6 +841,14 @@ class Main:
             cap_final = np.inf if cap_final is None else float(cap_final)
             cap_start = float(anneal.get("e_cap_start", cap_final))
             anneal_epochs = max(1, int(anneal.get("epochs", 1)))
+            # tempered-VI (`anneal.beta_start` < 1): the position target's
+            # log-density is scaled by an inverse temperature annealed
+            # beta_start -> 1 alongside softening/e_cap. Reverse-KL VI is
+            # mode-seeking; starting against a flattened target lets the
+            # flow cover basins (e.g. LJ55's compact phase) it would
+            # otherwise never see mass in before locking on. beta is a
+            # traced scalar like soft/cap — one compiled step.
+            beta_start = float(anneal.get("beta_start", 1.0))
 
             def schedule(epoch):
                 frac = max(0.0, 1.0 - epoch / anneal_epochs)
@@ -845,17 +858,19 @@ class Main:
                     0.0 if np.isinf(cap_final) else (1.0 - frac) / cap_final)
                 cap = np.inf if inv == 0.0 else 1.0 / inv
                 return (s_final + (s_start - s_final) * frac,
-                        min(cap, float(np.finfo(np.float32).max)))
+                        min(cap, float(np.finfo(np.float32).max)),
+                        1.0 + (beta_start - 1.0) * frac)
 
-            def sys_target(soft, cap):
+            def sys_target(soft, cap, beta):
                 return make_system_target(
-                    lambda x: target.log_prob(x, softening=soft, e_cap=cap),
+                    lambda x: beta * target.log_prob(x, softening=soft,
+                                                     e_cap=cap),
                     kBT_aux=kBT_aux)
         else:
             def schedule(epoch):
-                return (0.0, 0.0)   # unused placeholders
+                return (0.0, 0.0, 1.0)   # unused placeholders
 
-            def sys_target(soft, cap):
+            def sys_target(soft, cap, beta):
                 return make_system_target(target.log_prob, kBT_aux=kBT_aux)
 
         cfg, optimizer = self.flow_cfg, self.optimizer
@@ -872,7 +887,7 @@ class Main:
             from jax.sharding import NamedSharding, PartitionSpec
             pspec = NamedSharding(self.mesh, PartitionSpec("data"))
 
-        def one_step(params, opt_state, key, soft, cap):
+        def one_step(params, opt_state, key, soft, cap, beta):
             batch = sample_base(
                 key, n_particles, n_atoms, self.node_nf, box=box, r_cut=r_cut,
                 pos_std=float(base_sec.get("pos_std", 1.0)),
@@ -885,7 +900,8 @@ class Main:
                     batch)
 
             def loss_fn(p):
-                loss, _ = flow_vi_loss(p, cfg, batch, sys_target(soft, cap),
+                loss, _ = flow_vi_loss(p, cfg, batch,
+                                       sys_target(soft, cap, beta),
                                        stl=use_stl, base_log_prob=base_lp)
                 return loss
 
@@ -912,12 +928,12 @@ class Main:
         # remote compile. Worth enabling only when per-step device time is
         # tiny (small flows) or dispatch latency is extreme.
         @self._jit
-        def vi_epoch(params, opt_state, epoch_key, soft, cap):
+        def vi_epoch(params, opt_state, epoch_key, soft, cap, beta):
             def body(carry, i):
                 params, opt_state = carry
                 params, opt_state, loss, bad = one_step(
                     params, opt_state, jax.random.fold_in(epoch_key, i),
-                    soft, cap)
+                    soft, cap, beta)
                 return (params, opt_state), (loss, bad)
 
             (params, opt_state), (losses, bads) = jax.lax.scan(
@@ -941,12 +957,13 @@ class Main:
             start_time = time.time()
             losses = []
             epoch_key = jax.random.fold_in(base_key, epoch)
-            soft_e, cap_e = schedule(epoch)
+            soft_e, cap_e, beta_e = schedule(epoch)
             soft_e = jnp.asarray(soft_e, self.dtype)
             cap_e = jnp.asarray(cap_e, self.dtype)
+            beta_e = jnp.asarray(beta_e, self.dtype)
             if fused_epoch:
                 params, opt_state, losses, bads = vi_epoch(
-                    params, opt_state, epoch_key, soft_e, cap_e)
+                    params, opt_state, epoch_key, soft_e, cap_e, beta_e)
                 losses = jax.device_get(losses)
                 nan_steps = float(jax.device_get(bads).sum())
             else:
@@ -954,7 +971,8 @@ class Main:
                 for i in range(steps_per_epoch):
                     params, opt_state, loss, bad = vi_step(
                         params, opt_state,
-                        jax.random.fold_in(epoch_key, i), soft_e, cap_e)
+                        jax.random.fold_in(epoch_key, i), soft_e, cap_e,
+                        beta_e)
                     losses.append(loss)
                     bads.append(bad)
                 losses = jax.device_get(jnp.stack(losses))

@@ -57,6 +57,14 @@ N_ATOMS, NODE_NF = 55, 5
 # capacity/training binds LJ55 quality, so these are the dials to sweep
 HIDDEN = int(_os.environ.get("QLJ55_HIDDEN", 128))
 FLOW_STEPS = int(_os.environ.get("QLJ55_FLOW_STEPS", 5))
+# 'shift' | 'coupled' — the r4 flow-FAMILY fix (learned L2HMC-style drift;
+# flow/integrators.py FlowConfig docs): the shift drift moves positions at
+# most ~n_iter*dt ~ 0.04 sigma from the base draw, which is the structural
+# reason the r4 gate found SMC 15 sigma off HMC moments
+POS_UPDATE = _os.environ.get("QLJ55_POS_UPDATE", "shift")
+# tempered-VI start temperature (1.0 = untempered): anneal beta -> 1 over
+# the same VI_ANNEAL window as softening/e_cap
+BETA_START = float(_os.environ.get("QLJ55_BETA_START", 1.0))
 KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
 VI_STEPS = int(_os.environ.get("QLJS5_VI_STEPS",
                                _os.environ.get("QLJ55_VI_STEPS", 8000)))
@@ -128,7 +136,8 @@ def main():
     cfg = FlowConfig(n_iter=FLOW_STEPS, dt=float(cv.time_to_lj(1.0, "pico")),
                      egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
                                      compute_dtype="bfloat16"),
-                     nbr_mode="all_pairs", exact_ldj=True, remat=True)
+                     nbr_mode="all_pairs", exact_ldj=True, remat=True,
+                     position_update=POS_UPDATE)
     params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
     target = targets.lj_cluster(N_ATOMS, kBT=KBT, c_osc=C_OSC,
                                 softening=0.0, e_cap=E_CAP)
@@ -147,16 +156,18 @@ def main():
         optax.adam(VI_LR))
     opt_state = opt.init(params)
 
-    def sys_target(soft, cap):
+    def sys_target(soft, cap, beta):
         return make_system_target(
-            lambda x: target.log_prob(x, softening=soft, e_cap=cap), 1.0)
+            lambda x: beta * target.log_prob(x, softening=soft, e_cap=cap),
+            1.0)
 
     @jax.jit
-    def vi_step(params, opt_state, key, soft, cap):
+    def vi_step(params, opt_state, key, soft, cap, beta):
         batch = sample_base(key, VI_P, N_ATOMS, NODE_NF, box=1e3, r_cut=1e2,
                             dtype=DTYPE)
         loss, grads = jax.value_and_grad(
-            lambda p: flow_vi_loss(p, cfg, batch, sys_target(soft, cap))[0]
+            lambda p: flow_vi_loss(p, cfg, batch,
+                                   sys_target(soft, cap, beta))[0]
         )(params)
         upd, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, loss
@@ -176,8 +187,9 @@ def main():
         frac = max(0.0, 1.0 - i / VI_ANNEAL)
         soft = 0.2 * frac
         cap = 1.0 / (frac / 200.0 + (1.0 - frac) / E_CAP)
+        beta = 1.0 + (BETA_START - 1.0) * frac
         params, opt_state, loss = vi_step(
-            params, opt_state, jax.random.PRNGKey(10 + i), soft, cap)
+            params, opt_state, jax.random.PRNGKey(10 + i), soft, cap, beta)
         if i % 500 == 0:
             print(f"# VI step {i}: loss {float(loss):.1f} "
                   f"(soft {soft:.3f}, cap {cap:.0f}, "
@@ -193,7 +205,7 @@ def main():
         eval_batch = sample_base(jax.random.PRNGKey(999), VI_P, N_ATOMS,
                                  NODE_NF, box=1e3, r_cut=1e2, dtype=DTYPE)
         eval_loss = float(jax.jit(lambda p: flow_vi_loss(
-            p, cfg, eval_batch, sys_target(0.0, E_CAP))[0])(params))
+            p, cfg, eval_batch, sys_target(0.0, E_CAP, 1.0))[0])(params))
         print(f"# VI eval loss {eval_loss:.1f}", file=sys.stderr, flush=True)
         assert np.isfinite(eval_loss), "VI diverged (NaN params)"
     t_vi = time.time() - t0
@@ -357,7 +369,8 @@ def main():
     print(json.dumps({
         "metric": "lj55_quality",
         "flow": {"hidden": HIDDEN, "flow_steps": FLOW_STEPS,
-                 "vi_steps": VI_STEPS},
+                 "vi_steps": VI_STEPS, "position_update": POS_UPDATE,
+                 "beta_start": BETA_START},
         "hmc": m_hmc, "smc": m_smc,
         "U_sigma": round(sig(m_hmc["U"], m_smc["U"], m_hmc["U_se"],
                              m_smc["U_se"]), 2),
