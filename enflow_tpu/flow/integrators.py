@@ -112,12 +112,17 @@ class FlowConfig:
     #     where .pbc() is the identity).
     position_update: str = "shift"
     # Soft bound on the coupled drift's per-atom log-scale: the applied
-    # scale is ``S = pos_scale_max * tanh(S_raw / pos_scale_max)`` (the
-    # standard L2HMC bounded-scale form; identity slope at 0, so the
-    # zero-init reduction to the shift flow is unchanged). Unbounded S
-    # diverged in anger: the first LJ55 coupled-VI run NaN'd at step ~1000
-    # once exp(S)*pos overflowed |pos|^2 in f32. e^±3 spans [0.05, 20] —
-    # far more radial range than any cluster recipe needs.
+    # scale is ``S = m * tanh(S_raw / m)`` (the standard L2HMC
+    # bounded-scale form; identity slope at 0, so the zero-init reduction
+    # to the shift flow is unchanged), with ``m = pos_scale_max / n_iter``
+    # — i.e. ``pos_scale_max`` bounds the TOTAL log-scale across the whole
+    # flow. Both halves were learned in anger at LJ55-VI scale: unbounded S
+    # NaN'd at step ~1000 (exp(S)*pos overflowed |pos|^2 in f32), and a
+    # per-STEP bound of 3 (total e^±15) saturated the tanh — the harmonic
+    # penalty on the blown-up configs then has ~zero gradient to S_raw and
+    # the loss wedged at 1e9-1e10. Total e^±3 spans [0.05, 20] radially —
+    # far more than any cluster recipe needs — while keeping the penalty
+    # region shallow enough to descend out of.
     pos_scale_max: float = 3.0
     # Return a runtime neighbor-truncation counter from forward/reverse
     # (one masked reduce per neighbor build; data/neighbors.py). The
@@ -285,7 +290,7 @@ def _drift_egcl(params, cfg: FlowConfig, pnet, s: System):
     in ring mode, the shard rotation) runs on ``vel`` as the coordinates;
     the cluster recipes use ``all_pairs`` where that is exact."""
     (S, Fp, _), ovf = _egcl_at(params, cfg, pnet, s.replace(pos=s.vel))
-    m = jnp.asarray(cfg.pos_scale_max, S.dtype)
+    m = jnp.asarray(cfg.pos_scale_max / cfg.n_iter, S.dtype)
     return m * jnp.tanh(S / m), Fp, ovf
 
 

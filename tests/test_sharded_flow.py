@@ -228,3 +228,34 @@ def test_driver_atom_axis_train_and_generate(tmp_path, capsys):
     assert flags == ["True", "True"]
     h = np.loadtxt(tmp_path / "h.out")
     assert h.shape == (6, 5)
+
+
+def test_coupled_position_update_sharded_parity(mesh):
+    """The learned position coupling composes with the atom-axis ring path:
+    sharded forward/reverse match dense, including the drift EGCL evaluated
+    on velocity-space geometry and its psummed 3*sum(S) ldj."""
+    from tests.test_position_coupling import activate
+    cfg = make_cfg("all_pairs", position_update="coupled", exact_ldj=True)
+    params = activate(init_flow(jax.random.PRNGKey(3), cfg, DTYPE),
+                      jax.random.PRNGKey(4))
+    # open-boundary system: the coupled scale does not commute with PBC
+    # wrapping (FlowConfig docs) — at box=20 the scaled positions cross
+    # box/2 and the roundtrip genuinely breaks (verified while writing
+    # this test), so the coupled mode's contract is box >> |pos|
+    sys = make_system(seed=5)
+    sys = sys.replace(box=jnp.full_like(sys.box, 1e6),
+                      r_cut=jnp.full_like(sys.r_cut, 1e5))
+
+    out_d, ldj_d = forward_core(params, cfg, sys)
+    out_s, ldj_s = sh.sharded_forward_core(mesh, params, cfg, sys)
+    np.testing.assert_allclose(np.asarray(out_s.pos), np.asarray(out_d.pos),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_s.vel), np.asarray(out_d.vel),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ldj_s), np.asarray(ldj_d),
+                               atol=1e-10)
+    back, ldj_r = sh.sharded_reverse_core(mesh, params, cfg, out_s)
+    np.testing.assert_allclose(np.asarray(back.pos), np.asarray(sys.pos),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_r), -np.asarray(ldj_s),
+                               atol=1e-8)
