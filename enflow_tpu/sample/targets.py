@@ -66,8 +66,10 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
     ``x`` is ``[n, 3]``. The harmonic term restrains the center of mass so
     the Boltzmann density is normalizable. ``softening`` uses the alchemical
     soft-core form ``r_sq + s`` (reference flow/loss.py:16); ``e_cap``
-    applies :func:`regularize_energy` — both are training aids for flow-VI
-    and should be annealed to 0/None for exact sampling. The returned
+    applies :func:`regularize_energy` to the PAIR energy only (the harmonic
+    confinement is never capped — see the inline comment for the improper-
+    target failure a total-energy cap causes) — both are training aids for
+    flow-VI and should be annealed to 0/None for exact sampling. The returned
     ``log_prob`` accepts optional ``softening``/``e_cap`` overrides as
     *traced* scalars so an annealing schedule (driver
     ``training.target.anneal``) reuses one compiled program.
@@ -93,9 +95,19 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
             r6 = r_sq * r_sq * r_sq
             e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
             u = jnp.where(valid, e, 0.0).sum()
-        u = u + c_osc * ((x - com) ** 2).sum()
+        # e_cap regularizes the PAIR energy only — capping the harmonic
+        # confinement makes the target improper (density tail decays only
+        # logarithmically vs the R^{3n-1} volume factor: infinite Z, flat
+        # far field). Not hypothetical: the first LJ55 coupled-flow VI run
+        # found the exploit immediately — reverse KL happily spread mass
+        # over the capped far field (VI "loss" 185 nats better than any
+        # proper fit) and the adaptive-step rejuvenation HMC then free-
+        # diffused particles to Rg ~ 1e17. The confinement term must stay
+        # exact at all radii; the cap's purpose (bounding the r -> 0
+        # repulsive wall for untrained-flow samples) is purely pairwise.
         if e_cap is not None:
             u = regularize_energy(u, e_cap)
+        u = u + c_osc * ((x - com) ** 2).sum()
         return -u / kBT
 
     def log_prob_sharded(pos_blk, mask_blk, axis_name,
@@ -130,10 +142,11 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
                 e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
                 return jnp.where(valid, e, 0.0).sum(axis=(1, 2))
         u = ring_pair_terms(pos_blk, mask_blk, axis_name, term)
-        osc = jnp.where(m, pos_blk - com[:, None, :], 0.0)
-        u = u + c_osc * jax.lax.psum((osc * osc).sum(axis=(1, 2)), axis_name)
+        # pair-only cap, mirroring the dense body (see comment there)
         if e_cap is not None:
             u = regularize_energy(u, e_cap)
+        osc = jnp.where(m, pos_blk - com[:, None, :], 0.0)
+        u = u + c_osc * jax.lax.psum((osc * osc).sum(axis=(1, 2)), axis_name)
         return -u / kBT
 
     return Target(log_prob=log_prob, dim=(n, 3), name=f"lj{n}",

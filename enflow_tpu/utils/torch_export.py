@@ -61,6 +61,12 @@ def params_to_state_dict(params):
     """
     import jax
 
+    if "pos_networks" in params:
+        raise ValueError(
+            "position_update='coupled' flows have no reference-format "
+            "representation (the reference flow has no drift networks, "
+            "dynamics.py:12-21); export the shift-flow part is not "
+            "meaningful — keep coupled checkpoints in the native npz format")
     nets = params["networks"]
     num_networks = jax.tree_util.tree_leaves(nets)[0].shape[0]
     sd = {}

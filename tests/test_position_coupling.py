@@ -206,3 +206,13 @@ def test_coupled_grad_flows_to_pos_networks():
     gnorm = jax.tree_util.tree_reduce(
         lambda a, l: a + float(jnp.abs(l).sum()), g["pos_networks"], 0.0)
     assert np.isfinite(gnorm) and gnorm > 0.0
+
+
+def test_torch_export_rejects_coupled():
+    """Coupled flows have no reference-format representation — export must
+    fail loudly, not silently drop the drift networks."""
+    from enflow_tpu.utils.torch_export import params_to_state_dict
+    cfg = coupled_cfg(n_iter=2, dequantizer="argmax")
+    params = init_flow(jax.random.PRNGKey(0), cfg, jnp.float32)
+    with pytest.raises(ValueError, match="coupled"):
+        params_to_state_dict(params)

@@ -508,3 +508,52 @@ def test_smc_segments_resume_and_hooks():
                                   np.asarray(full.log_Z))
     np.testing.assert_array_equal(np.asarray(resumed.ess_history),
                                   np.asarray(full.ess_history))
+
+
+def test_lj_cluster_e_cap_keeps_target_proper():
+    """e_cap regularizes the PAIR energy only: with the cap active, the
+    density must still fall off harmonically at large radius (a total-
+    energy log-cap made the target improper, and the first LJ55
+    coupled-flow VI run exploited it to Rg ~ 1e17 — see targets.py)."""
+    t = targets.lj_cluster(13, kBT=2.0, c_osc=0.5, e_cap=100.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(13, 3)))
+    lp_near = t.log_prob(2.0 * x)          # spread but ordinary radius
+    lp_far = t.log_prob(100.0 * x)         # far field
+    lp_farther = t.log_prob(200.0 * x)
+    # harmonic decay: quadrupling the radius quarters ~nothing — the
+    # log-density must drop by ~c_osc * (R2^2 - R1^2) * sum|x-com|^2 / kBT
+    com = x - x.mean(0, keepdims=True)
+    s2 = float((com ** 2).sum())
+    drop = float(lp_far - lp_farther)
+    expected = 0.5 * (200.0 ** 2 - 100.0 ** 2) * s2 / 2.0
+    assert drop == pytest.approx(expected, rel=1e-3)
+    assert float(lp_near) > float(lp_far) > float(lp_farther)
+    # overlap guard still works: coincident-ish pair is capped, not inf
+    y = x.at[1].set(x[0] + 1e-4)
+    assert np.isfinite(float(t.log_prob(y)))
+
+
+def test_lj_cluster_e_cap_pair_only_sharded_parity():
+    """The sharded body mirrors the pair-only cap exactly."""
+    import os
+    if jax.device_count() < 2:
+        pytest.skip("needs multi-device mesh")
+    from enflow_tpu.parallel.mesh import get_mesh
+    from jax.sharding import PartitionSpec as P
+
+    n = 8
+    t = targets.lj_cluster(n, kBT=2.0, c_osc=0.5, e_cap=50.0)
+    rng = np.random.default_rng(1)
+    # far-field configs where cap-placement changes the answer
+    pos = jnp.asarray(rng.normal(size=(4, n, 3)) * 30.0)
+    mask = jnp.ones((4, n), bool)
+    mesh = get_mesh(("atom",))
+    body = jax.shard_map(
+        lambda pb, mb: t.log_prob_sharded(pb, mb, "atom"),
+        mesh=mesh, in_specs=(P(None, "atom"), P(None, "atom")),
+        out_specs=P(None))
+    lp_s = body(pos, mask)
+    lp_d = jax.vmap(t.log_prob)(pos)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_d),
+                               rtol=1e-6)
