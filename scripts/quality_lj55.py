@@ -65,6 +65,13 @@ POS_UPDATE = _os.environ.get("QLJ55_POS_UPDATE", "shift")
 # tempered-VI start temperature (1.0 = untempered): anneal beta -> 1 over
 # the same VI_ANNEAL window as softening/e_cap
 BETA_START = float(_os.environ.get("QLJ55_BETA_START", 1.0))
+# e_cap anneal start (default: the committed recipe's 200). For flows that
+# can transport positions (coupled), a low early cap invites atom-collapse:
+# the log-cap's gradient ~1/(1+u-cap) vanishes inside the wall, so a flow
+# that contracts into overlap while the wall is ~100 nats cheap wedges
+# there permanently. Set = E_CAP to hold the wall fixed through the anneal.
+CAP_START = float(_os.environ.get("QLJ55_CAP_START", 200.0))
+SOFT_START = float(_os.environ.get("QLJ55_SOFT_START", 0.2))
 KBT, C_OSC, E_CAP = 2.0, 0.5, 2000.0
 VI_STEPS = int(_os.environ.get("QLJS5_VI_STEPS",
                                _os.environ.get("QLJ55_VI_STEPS", 8000)))
@@ -185,8 +192,8 @@ def main():
         vi_steps = VI_STEPS
     for i in range(vi_steps):
         frac = max(0.0, 1.0 - i / VI_ANNEAL)
-        soft = 0.2 * frac
-        cap = 1.0 / (frac / 200.0 + (1.0 - frac) / E_CAP)
+        soft = SOFT_START * frac
+        cap = 1.0 / (frac / CAP_START + (1.0 - frac) / E_CAP)
         beta = 1.0 + (BETA_START - 1.0) * frac
         params, opt_state, loss = vi_step(
             params, opt_state, jax.random.PRNGKey(10 + i), soft, cap, beta)
