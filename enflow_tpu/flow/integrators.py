@@ -173,6 +173,25 @@ def init_flow(key, cfg: FlowConfig, dtype=jnp.float32):
             raise ValueError(
                 "position_update='coupled' is implemented for the leapfrog "
                 "integrator only")
+        # the learned scale exp(S)*pos does not commute with PBC wrapping
+        # (measured: a box=20 roundtrip genuinely breaks once scaled
+        # positions cross box/2 — RESULTS.md r4). 'images'/'cell' exist
+        # only for genuinely periodic boxes, so the combination is always
+        # wrong; 'dense'/'topk' min-image against the box and are safe only
+        # when box >> |pos| (the open-boundary cluster recipes), so warn.
+        if cfg.nbr_mode in ("images", "cell"):
+            raise ValueError(
+                f"position_update='coupled' breaks invertibility under a "
+                f"periodic box (exp(S) does not commute with PBC wrapping); "
+                f"nbr_mode={cfg.nbr_mode!r} implies a real periodic box — "
+                f"use the shift flow, or an open-boundary nbr_mode")
+        if cfg.nbr_mode in ("dense", "topk"):
+            import warnings
+            warnings.warn(
+                "position_update='coupled' is only exact for open "
+                "boundaries: ensure box >> |pos| so .pbc() is the identity "
+                "(nbr_mode 'all_pairs' is the committed cluster recipe)",
+                stacklevel=2)
 
         def zeroed(p):
             # zero the S head's and Fp gate's output layers: the fresh
@@ -250,6 +269,20 @@ def _ldj_sum(cfg: FlowConfig, Q):
     return cfg.ldj_factor * s
 
 
+def _ldj_sum_drift(cfg: FlowConfig, S):
+    """Drift log-scale contribution — ALWAYS the exact factor 3.
+
+    The parity quirk (factor 1 unless ``exact_ldj``) reproduces the
+    *reference's* ``Q.sum()`` accounting; the reference has no drift
+    network, so the S term has no parity rationale — scaling it by 1 under
+    the NLL default would silently train against a wrong Jacobian
+    (ADVICE r4). Applied identically in forward and reverse."""
+    s = S.sum(axis=(1, 2))
+    if cfg.axis_name:
+        s = jax.lax.psum(s, cfg.axis_name)
+    return 3.0 * s
+
+
 # ---------------------------------------------------------------------------
 # Leapfrog (reference LFIntegrator, dynamics.py:4-37)
 # ---------------------------------------------------------------------------
@@ -307,7 +340,7 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
         if coupled:
             S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s.replace(vel=vel))
             pos = jnp.exp(S) * s.pos + (vel + Fp) * dt
-            ldj = ldj + _ldj_sum(cfg, S)
+            ldj = ldj + _ldj_sum_drift(cfg, S)
             ovf = ovf + ovf2
         else:
             pos = s.pos + vel * dt
@@ -331,7 +364,7 @@ def _lf_reverse(params, cfg: FlowConfig, sys: System):
         if coupled:
             S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s)
             pos = (s.pos - (s.vel + Fp) * dt) * jnp.exp(-S)
-            ldj2 = -_ldj_sum(cfg, S)
+            ldj2 = -_ldj_sum_drift(cfg, S)
             s = s.replace(pos=pos).pbc()
         else:
             s = s.replace(pos=s.pos - s.vel * dt).pbc()

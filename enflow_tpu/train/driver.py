@@ -342,6 +342,12 @@ class Main:
             # geometry — flow/integrators.py FlowConfig docs; the r4 LJ55
             # flow-capacity fix)
             position_update=dyn.get("position_update", "shift"),
+            # bounds the coupled drift's TOTAL log-scale across the flow
+            # (S = m*tanh(S_raw/m), m = pos_scale_max/n_iter). Both failure
+            # modes of a wrong value are documented at the FlowConfig field:
+            # unbounded NaNs, a too-loose bound saturates tanh and wedges
+            # VI at 1e9-1e10 loss. Ignored by the shift flow.
+            pos_scale_max=float(dyn.get("pos_scale_max", 3.0)),
         )
         self.params = init_flow(jax.random.PRNGKey(self.seed), self.flow_cfg,
                                 self.dtype)
@@ -849,6 +855,15 @@ class Main:
             # otherwise never see mass in before locking on. beta is a
             # traced scalar like soft/cap — one compiled step.
             beta_start = float(anneal.get("beta_start", 1.0))
+            # beta_start=0 makes the epoch-0 target log-density identically
+            # zero — an improper (flat) target for reverse-KL VI, the same
+            # exploit class as the capped-confinement target (RESULTS r4);
+            # beta_start<0 inverts the target (ADVICE r4)
+            if not 0.0 < beta_start <= 1.0:
+                raise ValueError(
+                    f"training.target.anneal.beta_start must be in (0, 1] "
+                    f"(got {beta_start}): beta=0 is an improper flat "
+                    f"target, beta<0 inverts it")
 
             def schedule(epoch):
                 frac = max(0.0, 1.0 - epoch / anneal_epochs)
@@ -975,8 +990,14 @@ class Main:
                         beta_e)
                     losses.append(loss)
                     bads.append(bad)
-                losses = jax.device_get(jnp.stack(losses))
-                nan_steps = float(jax.device_get(jnp.stack(bads)).sum())
+                # host-side transfer of the per-step scalars — NOT an
+                # op-by-op jnp.stack: that dispatch crashed full-suite runs
+                # twice at this exact line (`Fatal Python error: Aborted`,
+                # r2 + r4-judge, loaded 2-core hosts; VERDICT r4 item 4).
+                # device_get on the list moves the data without launching
+                # any new device computation mid-epoch.
+                losses = np.asarray(jax.device_get(losses))
+                nan_steps = float(np.sum(jax.device_get(bads)))
             if nan_steps and self.is_main:
                 eprint(f"epoch {epoch}: {int(nan_steps)}/{steps_per_epoch} "
                        f"steps had nonfinite gradients (skipped by the "

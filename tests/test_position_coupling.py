@@ -216,3 +216,42 @@ def test_torch_export_rejects_coupled():
     params = init_flow(jax.random.PRNGKey(0), cfg, jnp.float32)
     with pytest.raises(ValueError, match="coupled"):
         params_to_state_dict(params)
+
+
+def test_coupled_drift_ldj_factor_exact_in_parity_mode():
+    """ADVICE r4: the drift's S log-det term uses the exact factor 3 even
+    under the NLL parity default (exact_ldj=False) — the factor-1 quirk
+    reproduces the reference's Q accounting, but the reference has no
+    drift network, so scaling S by 1 would train against a wrong Jacobian.
+
+    With the kick networks zeroed (Q=F=G=0) the whole ldj is the drift
+    term, so parity mode and exact mode must agree exactly (and match
+    autodiff via the ldj test above)."""
+    rng = np.random.default_rng(7)
+    sys0 = cluster_system(rng)
+    cfg_exact = coupled_cfg()
+    cfg_parity = coupled_cfg(exact_ldj=False)
+    params = init_flow(jax.random.PRNGKey(4), cfg_exact, DTYPE)
+    params["networks"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                params["networks"])
+    params = activate(params, jax.random.PRNGKey(5))
+    _, ldj_exact, _ = _lf_forward(params, cfg_exact, sys0)
+    _, ldj_parity, _ = _lf_forward(params, cfg_parity, sys0)
+    assert not np.allclose(np.asarray(ldj_exact), 0.0)  # drift is active
+    np.testing.assert_allclose(np.asarray(ldj_parity),
+                               np.asarray(ldj_exact), rtol=1e-12)
+
+
+def test_coupled_rejects_periodic_nbr_modes():
+    """exp(S) does not commute with PBC wrapping: the unambiguously
+    periodic formats are rejected at init, min-image formats warn
+    (ADVICE r4)."""
+    for mode, kw in (("images", dict(nbr_capacity=8)),
+                     ("cell", dict(nbr_capacity=8, cells_per_dim=2,
+                                   cell_capacity=4))):
+        with pytest.raises(ValueError, match="periodic"):
+            init_flow(jax.random.PRNGKey(0),
+                      coupled_cfg(nbr_mode=mode, **kw), DTYPE)
+    with pytest.warns(UserWarning, match="open"):
+        init_flow(jax.random.PRNGKey(0), coupled_cfg(nbr_mode="dense"),
+                  DTYPE)

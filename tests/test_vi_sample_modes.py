@@ -755,8 +755,12 @@ def test_flow_vi_coupled_position_update_e2e(tmp_path, capsys):
     cfg = vi_config(tmp_path, n_epochs=2)
     cfg["dynamics"]["position_update"] = "coupled"
     cfg["dynamics"]["nbr_mode"] = "all_pairs"
-    run_main(tmp_path, cfg, "vi_coupled.yaml")
+    cfg["dynamics"]["pos_scale_max"] = 2.5
+    m = run_main(tmp_path, cfg, "vi_coupled.yaml")
     capsys.readouterr()
+    # both coupled knobs are YAML-reachable (VERDICT r4 item 6)
+    assert m.flow_cfg.position_update == "coupled"
+    assert m.flow_cfg.pos_scale_max == 2.5
 
     sample_cfg = {
         "mode": "sample",
@@ -824,3 +828,20 @@ def test_flow_vi_tempered_anneal(tmp_path, capsys):
     assert np.isfinite(lt).all() and np.isfinite(lu).all()
     # beta reaches the objective: epoch-0 losses differ (same seed/noise)
     assert abs(lt[0] - lu[0]) > 1e-6
+
+
+def test_beta_start_validation(tmp_path, capsys):
+    """anneal.beta_start outside (0, 1] is rejected at config parse time:
+    beta=0 is an improper flat target for reverse-KL VI, beta<0 inverts
+    the target (ADVICE r4)."""
+    for bad in (0.0, -0.5, 1.5):
+        cfg = vi_config(tmp_path, n_epochs=1)
+        cfg["training"]["target"] = {
+            "type": "lj_cluster", "n_atoms": 5, "kBT": 2.0, "c_osc": 0.5,
+            "softening": 0.0, "e_cap": 100.0,
+            "anneal": {"softening_start": 0.2, "epochs": 2,
+                       "beta_start": bad},
+        }
+        with pytest.raises(ValueError, match="beta_start"):
+            run_main(tmp_path, cfg, f"vi_bad_beta_{bad}.yaml")
+    capsys.readouterr()
