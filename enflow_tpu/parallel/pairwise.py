@@ -116,7 +116,7 @@ def ring_alchemical_lj(pos_blk, mask_blk, softening, axis_name: str):
     return 0.5 * jax.lax.psum(energy, axis_name)
 
 
-def ring_pair_terms(pos_blk, mask_blk, axis_name: str, term_fn):
+def ring_pair_terms(pos_blk, mask_blk, axis_name: str, term_fn, box=None):
     """Generic atom-sharded unordered-pair reduction.
 
     ``pos_blk [B, n_blk, 3]`` / ``mask_blk [B, n_blk]`` are this shard's atom
@@ -126,6 +126,11 @@ def ring_pair_terms(pos_blk, mask_blk, axis_name: str, term_fn):
     rotation), so ``term_fn`` only adds its own physics (coincident-pair
     guards, cutoffs). Ordered pairs accumulate over the ``ppermute`` ring and
     are halved — exactly the dense i<j sum for any symmetric term.
+
+    ``box`` (optional): periodic box — scalar or anything broadcastable to
+    the ``[B, bi, bj, 3]`` displacement block; when given, displacements are
+    min-image wrapped before squaring (the PBC-fluid targets,
+    ``sample/targets.py:lj_fluid``).
 
     This is the building block for atom-sharded sampler *targets*
     (``sample/targets.py: Target.log_prob_sharded``) — the same ring pattern
@@ -139,6 +144,8 @@ def ring_pair_terms(pos_blk, mask_blk, axis_name: str, term_fn):
     def step(s, carry):
         acc, pos_j, mask_j = carry
         diff = pos_blk[:, :, None, :] - pos_j[:, None, :, :]
+        if box is not None:
+            diff = min_image(diff, box)
         d2 = (diff * diff).sum(-1)
         valid = mask_blk[:, :, None] & mask_j[:, None, :]
         valid = valid & ~jnp.where(s == 0, eye, jnp.zeros_like(eye))

@@ -79,7 +79,7 @@ def make_sample_fns(params, cfg: FlowConfig, target, n_atoms: int,
             raise NotImplementedError(
                 f"target {target.name!r} has no atom-sharded density "
                 "(Target.log_prob_sharded) — atom-axis sampling supports "
-                "lj_cluster / double_well / gaussian targets")
+                "lj_cluster / lj_fluid / double_well / gaussian targets")
         cfg = _sharded_cfg(dataclasses.replace(cfg, exact_ldj=True),
                            atom_axis)
         axis = atom_axis

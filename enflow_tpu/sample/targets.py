@@ -153,6 +153,71 @@ def lj_cluster(n: int, kBT: float = 1.0, epsilon: float = 1.0,
                   log_prob_sharded=log_prob_sharded)
 
 
+def lj_fluid(n: int, box: float, kBT: float = 1.0, epsilon: float = 1.0,
+             sigma: float = 1.0, softening: float = 0.0,
+             cutoff: float | None = None,
+             e_cap: float | None = None) -> Target:
+    """Periodic LJ fluid: the reference's generate-scale workload (the
+    2,944-atom argon box, reference ``example/generate.yaml:8-15``) as a
+    flow-SMC target (VERDICT r4 item 3).
+
+    ``U = sum_{i<j} 4*eps*((s^2/r~^2)^6 - (s^2/r~^2)^3)`` over min-image
+    displacements with ``r~^2 = |dx|_mi^2 + softening`` — the NLL's
+    alchemical soft-core form (reference ``flow/loss.py:16``; on r^2, not
+    the sim-engine's ``(soft + r)`` form) so an NLL-trained flow's base
+    density and this target share one pair formula. Unlike the NLL parity
+    quirk (raw positions, no wrap — flow/loss.py docstring), a *sampling*
+    target must respect the periodic topology, so displacements are
+    min-image wrapped. ``cutoff`` (optional) zeroes pairs beyond it
+    (un-shifted truncation, matching ``sim.potentials`` semantics);
+    ``e_cap`` log-caps the pair energy only (see :func:`lj_cluster` —
+    there is no confinement term here, the box is the confinement).
+
+    No center-of-mass restraint: the density is over positions in the box
+    (translation-invariant but the box volume is finite, so Z is finite).
+    ``softening``/``e_cap`` are overridable as traced scalars for the VI
+    anneal, like :func:`lj_cluster`.
+    """
+    s2 = sigma * sigma
+
+    def _pair_energy(d2, valid, softening):
+        # coincident-pair guard mirrors lj_cluster: keep the (finite)
+        # softened repulsion when s > 0, exclude exact coincidence when
+        # the target is unsoftened (inf - inf = NaN under autodiff)
+        valid = valid & ((d2 > 0.0) | (jnp.asarray(softening) > 0.0))
+        if cutoff is not None:
+            valid = valid & (d2 < cutoff * cutoff)
+        r_sq = (jnp.where(valid, d2, 1.0) + softening) / s2
+        r6 = r_sq * r_sq * r_sq
+        e = 4.0 * epsilon * (1.0 / (r6 * r6) - 1.0 / r6)
+        return jnp.where(valid, e, 0.0)
+
+    def log_prob(x, softening=softening, e_cap=e_cap):
+        diff = x[:, None, :] - x[None, :, :]
+        diff = diff - jnp.round(diff / box) * box           # min-image
+        d2 = (diff * diff).sum(-1)
+        iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+        u = _pair_energy(d2, iu, softening).sum()
+        if e_cap is not None:
+            u = regularize_energy(u, e_cap)
+        return -u / kBT
+
+    def log_prob_sharded(pos_blk, mask_blk, axis_name,
+                         softening=softening, e_cap=e_cap):
+        from ..parallel.pairwise import ring_pair_terms
+
+        def term(d2, valid):
+            return _pair_energy(d2, valid, softening).sum(axis=(1, 2))
+
+        u = ring_pair_terms(pos_blk, mask_blk, axis_name, term, box=box)
+        if e_cap is not None:
+            u = regularize_energy(u, e_cap)
+        return -u / kBT
+
+    return Target(log_prob=log_prob, dim=(n, 3), name=f"ljfluid{n}",
+                  log_prob_sharded=log_prob_sharded)
+
+
 def double_well(n: int = 4, dim: int = 2, kBT: float = 1.0, a: float = 0.0,
                 b: float = -4.0, c: float = 0.9, d0: float = 4.0,
                 tau: float = 1.0) -> Target:

@@ -557,3 +557,48 @@ def test_lj_cluster_e_cap_pair_only_sharded_parity():
     lp_d = jax.vmap(t.log_prob)(pos)
     np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_d),
                                rtol=1e-6)
+
+
+def test_lj_fluid_matches_bruteforce_min_image():
+    """lj_fluid dense oracle: energy == explicit pair loop with min-image
+    wrapping, cutoff honored, and a translated-by-box configuration gives
+    the identical density (periodic topology)."""
+    rng = np.random.default_rng(3)
+    n, box, cut, soft = 6, 2.5, 1.1, 0.05
+    t = targets.lj_fluid(n, box=box, kBT=2.0, softening=soft, cutoff=cut)
+    x = jnp.asarray(rng.uniform(0, box, size=(n, 3)))
+
+    u = 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = np.array(x[i] - x[j])
+            d -= np.round(d / box) * box
+            d2 = float((d * d).sum())
+            if d2 >= cut * cut:
+                continue
+            r_sq = d2 + soft
+            u += 4.0 * (r_sq ** -6 - r_sq ** -3)
+    np.testing.assert_allclose(float(t.log_prob(x)), -u / 2.0, rtol=1e-12)
+
+    # periodic invariance: shift one atom by a full box length
+    x2 = x.at[0].add(jnp.array([box, -box, 2 * box]))
+    np.testing.assert_allclose(float(t.log_prob(x2)), float(t.log_prob(x)),
+                               rtol=1e-12)
+
+
+def test_lj_fluid_e_cap_and_traced_overrides():
+    """The pair-only e_cap bounds the overlap wall and the traced
+    softening/e_cap overrides run under jit without retracing NaNs."""
+    n, box = 4, 3.0
+    t = targets.lj_fluid(n, box=box, kBT=1.0, e_cap=100.0)
+    x = jnp.zeros((n, 3)).at[1].set(jnp.array([1e-4, 0, 0])) \
+        .at[2].set(jnp.array([0, 1.2, 0])).at[3].set(jnp.array([1.5, 1.5, 0]))
+    lp = float(t.log_prob(x))
+    assert np.isfinite(lp)            # wall capped
+    # overrides are traced scalars: one jitted program serves the anneal
+    f = jax.jit(lambda s, c: t.log_prob(x, softening=s, e_cap=c))
+    a = float(f(jnp.asarray(0.1), jnp.asarray(50.0)))
+    b = float(f(jnp.asarray(0.0), jnp.asarray(100.0)))
+    assert np.isfinite(a) and np.isfinite(b) and a != b
+    g = jax.grad(lambda xx: t.log_prob(xx))(x)
+    assert np.isfinite(np.asarray(g)).all()

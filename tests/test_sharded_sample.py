@@ -44,13 +44,19 @@ def _fns(target, n_atoms, mesh=None, n_pad=None):
                            box=1e3, r_cut=1e2, mesh=mesh, n_pad=n_pad)
 
 
-@pytest.mark.parametrize("ttype", ["lj_cluster", "gaussian", "double_well"])
+@pytest.mark.parametrize("ttype", ["lj_cluster", "gaussian", "double_well",
+                                   "lj_fluid"])
 def test_densities_and_propose_match_dense(mesh2d, ttype):
     n_atoms = 4
     if ttype == "lj_cluster":
         t = targets.lj_cluster(n_atoms, kBT=2.0, softening=0.1, e_cap=500.0)
     elif ttype == "gaussian":
         t = targets.gaussian((n_atoms, 3), std=1.3)
+    elif ttype == "lj_fluid":
+        # box small enough that min-image wrapping is exercised by N(0,1)
+        # latent pushforward positions; cutoff below box/2
+        t = targets.lj_fluid(n_atoms, box=2.5, kBT=2.0, softening=0.1,
+                             cutoff=1.2, e_cap=500.0)
     else:
         t = targets.double_well(n_atoms, dim=3)
     prop_d, q0_d, p_d, pad_d = _fns(t, n_atoms)
@@ -360,3 +366,68 @@ def test_driver_chunked_atom_sharded_smc_matches_monolithic(tmp_path):
     np.testing.assert_array_equal(c["pos"], a["pos"])
     np.testing.assert_allclose(c["log_weights"], a["log_weights"],
                                rtol=1e-12)
+
+
+def test_driver_sample_atom_axis_lj_fluid(tmp_path, capsys):
+    """Driver e2e on the PERIODIC fluid target (VERDICT r4 item 3): the
+    sharded sample path runs min-image ring pair terms with the System box
+    equal to the fluid box — the generate-scale workload's program family
+    (example/sample_fluid.yaml) at tiny shapes."""
+    import yaml
+    from enflow_tpu.train.driver import Main
+
+    cfg = {
+        "mode": "sample",
+        "seed": 0,
+        "units": {"time": "pico", "dist": "ang"},
+        "parallel": {"atom_axis": 4},
+        "dynamics": {
+            "integrator": "lf", "n_iter": 2, "dt": 0.05,
+            "nbr_mode": "all_pairs",
+            "network": {"hidden_nf": 8, "node_nf": 3},
+            "checkpoint_path": "",
+        },
+        "sampling": {
+            "algo": "smc",
+            "target": {"type": "lj_fluid", "n_atoms": 6, "box": 2.5,
+                       "kBT": 2.0, "softening": 0.1, "cutoff": 1.2,
+                       "e_cap": 500.0},
+            "n_particles": 16, "n_temps": 3, "mcmc_steps": 1,
+            "step_size": 0.05, "n_leapfrog": 2,
+            "output": str(tmp_path / "fluid_samples.npz"),
+        },
+    }
+    path = tmp_path / "sample_fluid.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    m = Main()
+    m(str(path))
+    out = np.load(tmp_path / "fluid_samples.npz")
+    assert out["pos"].shape == (16, 6, 3)
+    assert np.isfinite(out["log_Z"])
+    assert np.isfinite(out["log_weights"]).all()
+    assert "sampled 16 particles" in capsys.readouterr().out
+
+
+def test_lj_fluid_requires_box(tmp_path):
+    import yaml
+    from enflow_tpu.train.driver import Main
+
+    cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "dynamics": {
+            "integrator": "lf", "n_iter": 1, "dt": 0.05,
+            "nbr_mode": "all_pairs",
+            "network": {"hidden_nf": 8, "node_nf": 3},
+            "checkpoint_path": "",
+        },
+        "sampling": {
+            "algo": "smc",
+            "target": {"type": "lj_fluid", "n_atoms": 4, "kBT": 1.0},
+            "n_particles": 8, "n_temps": 2,
+        },
+    }
+    path = tmp_path / "s.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ValueError, match="box"):
+        Main()(str(path))
