@@ -40,6 +40,10 @@ class REMCResult(NamedTuple):
     swap_accept: Any      # [K-1] mean swap acceptance per adjacent pair
     accept: Any           # [K] mean HMC acceptance per temperature slot
     betas: Any            # [K] the ladder, as used
+    # [n_rounds] per-round values of the caller's ``stage_fn`` (None when
+    # no stage_fn was given) — e.g. the driver's neighbor-overflow counter
+    # over all replica slots (VERDICT r4 item 7)
+    round_metric_history: Any = None
 
 
 def tile_replicas(x, K: int):
@@ -55,7 +59,8 @@ def _zero_log_q0(x):
 
 def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
          betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
-         n_leapfrog: int = 5, batched: bool = False) -> REMCResult:
+         n_leapfrog: int = 5, batched: bool = False,
+         stage_fn=None) -> REMCResult:
     """Parallel tempering from ``betas[0]`` (hottest) to ``betas[-1] == 1``.
 
     Args:
@@ -89,13 +94,14 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     betas = jnp.asarray(betas)
 
     one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
-                                mcmc_steps, n_leapfrog, batched=batched)
+                                mcmc_steps, n_leapfrog, batched=batched,
+                                stage_fn=stage_fn)
     lq0, lp, glq0, glp = _init_remc_caches(log_q0, log_p, x0,
                                            batched=batched)
 
     (x, lq0, lp, glq0, glp), outs = jax.lax.scan(
         one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
-    return _aggregate_remc(x, outs, betas)
+    return _aggregate_remc(x, outs, betas, has_metric=stage_fn is not None)
 
 
 def _flatten_km(t, K, M):
@@ -128,8 +134,8 @@ def _init_remc_caches(log_q0, log_p, x0, batched: bool = False):
     return lq0, lp, glq0, glp
 
 
-def _aggregate_remc(x, outs, betas) -> REMCResult:
-    samples, accs, rates, pair_ons = outs
+def _aggregate_remc(x, outs, betas, has_metric: bool = False) -> REMCResult:
+    samples, accs, rates, pair_ons, metrics = outs
     n_on = jnp.maximum(pair_ons.sum(axis=0), 1)             # rounds pair was on
     return REMCResult(
         samples=samples,
@@ -137,15 +143,21 @@ def _aggregate_remc(x, outs, betas) -> REMCResult:
         swap_accept=rates.sum(axis=0) / n_on,
         accept=accs.mean(axis=0),
         betas=betas,
+        round_metric_history=metrics if has_metric else None,
     )
 
 
 def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
-                    n_leapfrog, batched: bool = False):
+                    n_leapfrog, batched: bool = False, stage_fn=None):
     """One REMC round ``(carry, r) -> (carry, (target_slot, acc, rate,
-    pair_on))``, keyed by the ABSOLUTE round index ``r`` (fold_in) — so a
-    chunked scan over ``arange(r0, r1)`` continues the monolithic RNG
-    stream bitwise (:func:`remc_segments`).
+    pair_on, metric))``, keyed by the ABSOLUTE round index ``r`` (fold_in)
+    — so a chunked scan over ``arange(r0, r1)`` continues the monolithic
+    RNG stream bitwise (:func:`remc_segments`).
+
+    ``stage_fn`` (optional): ``flattened [K*M, ...] replicas -> scalar``
+    evaluated after every round's swap phase (a zero placeholder rides the
+    scan otherwise) — the per-round diagnostics hook (e.g. the driver's
+    neighbor-overflow counter, VERDICT r4 item 7).
 
     ``batched``: run every slot's chains through ONE flattened ``[K*M]``
     batched-density kernel call with per-replica beta/step-size vectors
@@ -236,7 +248,9 @@ def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
             r % 2, k_swap, x, lq0, lp, glq0, glp)
 
         target_slot = jax.tree_util.tree_map(lambda a: a[-1], x)
-        out = (target_slot, acc / mcmc_steps, rate, pair_on)
+        metric = (stage_fn(_flatten_km(x, K, M)) if stage_fn is not None
+                  else jnp.zeros((), jnp.int32))
+        out = (target_slot, acc / mcmc_steps, rate, pair_on, metric)
         return (x, lq0, lp, glq0, glp), out
 
     return one_round
@@ -245,7 +259,7 @@ def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
 def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
                   betas, n_rounds: int, mcmc_steps: int = 1, step_size=0.05,
                   n_leapfrog: int = 5, batched: bool = False,
-                  chunk_rounds: int = 8,
+                  stage_fn=None, chunk_rounds: int = 8,
                   run_segment=None, on_segment=None, start_round: int = 0,
                   init_state=None, init_outs=None,
                   compiler_options=None) -> REMCResult:
@@ -271,7 +285,8 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
     run = run_segment or (lambda f, *a: f(*a))
 
     one_round = _make_one_round(key, log_q0, log_p, betas, step_size,
-                                mcmc_steps, n_leapfrog, batched=batched)
+                                mcmc_steps, n_leapfrog, batched=batched,
+                                stage_fn=stage_fn)
 
     jj = (lambda g: jax.jit(g, compiler_options=compiler_options)) \
         if compiler_options else jax.jit
@@ -298,5 +313,6 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
 
     cat = lambda k: jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs), *[o[k] for o in outs])
-    all_outs = tuple(cat(k) for k in range(4))
-    return _aggregate_remc(state[0], all_outs, betas)
+    all_outs = tuple(cat(k) for k in range(5))
+    return _aggregate_remc(state[0], all_outs, betas,
+                           has_metric=stage_fn is not None)

@@ -48,6 +48,10 @@ class SMCResult(NamedTuple):
     accept_history: jax.Array  # [n_temps]
     beta_history: jax.Array = None  # [n_temps] (adaptive schedules)
     step_history: jax.Array = None  # [n_temps] (adapt_step=True)
+    # [n_temps] per-stage values of the caller's ``stage_fn`` (None when no
+    # stage_fn was given) — e.g. the driver's mid-anneal neighbor-overflow
+    # counter (VERDICT r4 item 7)
+    stage_metric_history: jax.Array = None
 
 
 def _adaptive_delta(log_w, d, beta_prev, target_ess, n_bisect: int = 26):
@@ -176,11 +180,18 @@ def _schedule(n_temps, betas):
 
 def _make_anneal_step(log_q0, log_p, *, P, adaptive, target_ess_frac,
                       mcmc_steps, n_leapfrog, resample_threshold, adapt_step,
-                      target_accept, precondition, batched):
+                      target_accept, precondition, batched, stage_fn=None):
     """The per-temperature SMC transition ``(carry, (beta, beta_prev, key))
-    -> (carry, (ess, accept, beta, eps))`` — one function shared by the
-    monolithic scan (:func:`smc`) and the chunked segment runner
-    (:func:`smc_segments`), so chunked == monolithic bitwise."""
+    -> (carry, (ess, accept, beta, eps, metric))`` — one function shared by
+    the monolithic scan (:func:`smc`) and the chunked segment runner
+    (:func:`smc_segments`), so chunked == monolithic bitwise.
+
+    ``stage_fn`` (optional): ``particles -> scalar`` evaluated on the
+    post-rejuvenation particles of every stage (a zero placeholder rides
+    the scan otherwise). This is how truncation-class diagnostics see the
+    MID-ANNEAL configurations — positions pass through their most
+    distorted geometries between the proposal and the target, exactly
+    where a final-particles-only probe is blind (VERDICT r4 item 7)."""
 
     def anneal_step(carry, inputs):
         (x, log_w, log_z, beta_carry, eps,
@@ -234,9 +245,11 @@ def _make_anneal_step(log_q0, log_p, *, P, adaptive, target_ess_frac,
             mass=_ensemble_mass(x) if precondition else None)
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
+        metric = (stage_fn(x) if stage_fn is not None
+                  else jnp.zeros((), jnp.int32))
         return ((x, log_w, log_z, beta, eps_next,
                  lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc, beta, eps))
+                (ess, acc, beta, eps, metric))
 
     return anneal_step
 
@@ -248,7 +261,7 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         resample_threshold: float = 0.5,
         adapt_step: bool = False, target_accept: float = 0.65,
         precondition: bool = False,
-        batched: bool = False) -> SMCResult:
+        batched: bool = False, stage_fn=None) -> SMCResult:
     """Tempered SMC from proposal samples to the target.
 
     Args:
@@ -307,12 +320,12 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         target_ess_frac=target_ess_frac, mcmc_steps=mcmc_steps,
         n_leapfrog=n_leapfrog, resample_threshold=resample_threshold,
         adapt_step=adapt_step, target_accept=target_accept,
-        precondition=precondition, batched=batched)
+        precondition=precondition, batched=batched, stage_fn=stage_fn)
 
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
     ((x, log_w, log_z, *_),
-     (ess_hist, acc_hist, beta_hist, step_hist)) = jax.lax.scan(
+     (ess_hist, acc_hist, beta_hist, step_hist, metric_hist)) = jax.lax.scan(
         anneal_step,
         (x0, init_w, jnp.zeros((), betas.dtype),
          jnp.zeros((), betas.dtype), jnp.asarray(step_size, betas.dtype),
@@ -320,7 +333,9 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
         (betas, betas_prev, keys))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
-                     beta_history=beta_hist, step_history=step_hist)
+                     beta_history=beta_hist, step_history=step_hist,
+                     stage_metric_history=(metric_hist if stage_fn is not None
+                                           else None))
 
 
 def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
@@ -330,6 +345,7 @@ def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
                  resample_threshold: float = 0.5,
                  adapt_step: bool = False, target_accept: float = 0.65,
                  precondition: bool = False, batched: bool = False,
+                 stage_fn=None,
                  chunk_temps: int = 4, run_segment=None, on_segment=None,
                  start_stage: int = 0, init_state=None,
                  init_hists=None, compiler_options=None) -> SMCResult:
@@ -382,7 +398,7 @@ def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
         target_ess_frac=target_ess_frac, mcmc_steps=mcmc_steps,
         n_leapfrog=n_leapfrog, resample_threshold=resample_threshold,
         adapt_step=adapt_step, target_accept=target_accept,
-        precondition=precondition, batched=batched)
+        precondition=precondition, batched=batched, stage_fn=stage_fn)
 
     jj = (lambda g: jax.jit(g, compiler_options=compiler_options)) \
         if compiler_options else jax.jit
@@ -421,19 +437,21 @@ def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
     x, log_w, log_z = state[0], state[1], state[2]
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=cat(0), accept_history=cat(1),
-                     beta_history=cat(2), step_history=cat(3))
+                     beta_history=cat(2), step_history=cat(3),
+                     stage_metric_history=(cat(4) if stage_fn is not None
+                                           else None))
 
 
 def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         n_temps: int = 10, betas=None, mcmc_steps: int = 2, step_size=0.05,
         n_leapfrog: int = 5, adapt_step: bool = False,
         target_accept: float = 0.65, precondition: bool = False,
-        batched: bool = False) -> SMCResult:
+        batched: bool = False, stage_fn=None) -> SMCResult:
     """Annealed importance sampling: SMC machinery without resampling.
 
     Each particle carries its full annealed weight; ``log_Z`` is the AIS
     estimate ``logmeanexp(log_w)``. ``batched``/``adapt_step``/
-    ``precondition`` as in :func:`smc`.
+    ``precondition``/``stage_fn`` as in :func:`smc`.
     """
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is None:
@@ -461,17 +479,22 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
         ess = ess_from_log_weights(log_w)
+        metric = (stage_fn(x) if stage_fn is not None
+                  else jnp.zeros((), jnp.int32))
         return ((x, log_w, eps_next, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc, eps))
+                (ess, acc, eps, metric))
 
     keys = jax.random.split(key, n_temps)
-    (x, log_w, *_), (ess_hist, acc_hist, step_hist) = jax.lax.scan(
-        anneal_step, (x0, jnp.zeros((P,), betas.dtype),
-                      jnp.asarray(step_size, betas.dtype),
-                      lq0_0, lp_0, glq0_0, glp_0),
-        (betas, betas_prev, keys))
+    (x, log_w, *_), (ess_hist, acc_hist, step_hist, metric_hist) = \
+        jax.lax.scan(
+            anneal_step, (x0, jnp.zeros((P,), betas.dtype),
+                          jnp.asarray(step_size, betas.dtype),
+                          lq0_0, lp_0, glq0_0, glp_0),
+            (betas, betas_prev, keys))
     log_z = (jax.scipy.special.logsumexp(log_w)
              - jnp.log(jnp.asarray(P, log_w.dtype)))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
-                     step_history=step_hist)
+                     step_history=step_hist,
+                     stage_metric_history=(metric_hist if stage_fn is not None
+                                           else None))

@@ -1290,6 +1290,14 @@ class Main:
                      target_accept=float(sec.get("target_accept", 0.65)),
                      precondition=bool(sec.get("precondition", False)),
                      batched=batched, **extra)
+        # truncating neighbor formats: ride a tracked flow forward on (a
+        # bounded subsample of) the particles at EVERY anneal stage —
+        # mid-anneal configurations pass through the most distorted
+        # geometries, where the old final-particles-only probe was blind
+        # (VERDICT r4 item 7). Exact formats (all_pairs/ring) skip it.
+        track = self.atom_axis == 1 and self._capacity_can_truncate()
+        if track:
+            knobs["stage_fn"] = self._overflow_stage_fn(sec)
 
         n_retries = 0
         chunk = int(sec.get("chunk_temps", 0))
@@ -1339,17 +1347,15 @@ class Main:
         if n_pad > n_atoms:
             parts = {k: v[:, :n_atoms] for k, v in parts.items()}
 
-        # truncating neighbor formats: probe the FINAL particles with a
-        # tracked flow forward (one extra flow eval on a bounded subsample)
-        # so capacity overflow at the annealed configurations is visible in
-        # the CSV, not just at the initial validation (VERDICT r3 item 5)
+        # per-stage truncation totals from the in-program counter (the CSV
+        # below gets the full per-stage column; the summary is the total)
         nbr_overflow = ""
-        if self.atom_axis == 1 and self._capacity_can_truncate() \
-                and self.is_main:
-            nbr_overflow = self._sample_overflow_probe(parts, sec)
-            if nbr_overflow:
+        if track and res.stage_metric_history is not None:
+            nbr_overflow = int(np.asarray(res.stage_metric_history).sum())
+            if nbr_overflow and self.is_main:
                 eprint(f"WARNING: {nbr_overflow} neighbor slots truncated "
-                       f"at the final particle configurations — raise "
+                       f"across the anneal stages (see the nbr_overflow "
+                       f"column in sampling.metrics_csv) — raise "
                        f"dynamics.nbr_capacity/cell_capacity", flush=True)
 
         # force-field targets: attach dihedral observables + phi/psi
@@ -1381,29 +1387,37 @@ class Main:
             self._log_sample_stages(sec, res, n_retries, nbr_overflow)
         return res
 
-    def _sample_overflow_probe(self, parts, sec, max_check=256):
-        """Tracked flow forward over (a subsample of) the final particles:
-        returns the number of truncated neighbor slots (int). One extra
-        flow evaluation, bounded at ``max_check`` particles."""
+    def _overflow_stage_fn(self, sec, max_check=256):
+        """Build an SMC/AIS ``stage_fn``: ``particles -> truncated-slot
+        count`` via a tracked flow forward on (a bounded subsample of) the
+        particle pytree. Runs INSIDE the jitted anneal at every stage — one
+        extra flow evaluation per stage over at most ``max_check``
+        particles (the rejuvenation kernel already runs
+        ``mcmc_steps * n_leapfrog`` flow fwd+bwd over ALL particles, so the
+        relative cost is small). Replaces the r4 final-particles-only
+        probe (VERDICT r4 item 7)."""
         from ..data.system import System
         from ..flow.integrators import forward_core
 
         cfg_t = dataclasses.replace(self.flow_cfg, track_overflow=True)
-        pos = jnp.asarray(parts["pos"][:max_check], self.dtype)
-        P, n_atoms = pos.shape[:2]
-        sysb = System(
-            h=jnp.asarray(parts["h"][:max_check], self.dtype),
-            g=jnp.asarray(parts["g"][:max_check], self.dtype),
-            pos=pos,
-            vel=jnp.asarray(parts["vel"][:max_check], self.dtype),
-            mask=jnp.ones((P, n_atoms), bool),
-            box=jnp.full((P, 3), float(sec["target"].get("box", 1e3)),
-                         self.dtype),
-            r_cut=jnp.full((P,), float(sec["target"].get("r_cut", 1e2)),
-                           self.dtype))
-        _, _, ovf = jax.jit(
-            lambda s: forward_core(self.params, cfg_t, s))(sysb)
-        return int(jax.device_get(ovf))
+        box = float(sec["target"].get("box", 1e3))
+        r_cut = float(sec["target"].get("r_cut", 1e2))
+        params, dtype = self.params, self.dtype
+
+        def stage_fn(x):
+            n = min(max_check, x["pos"].shape[0])
+            n_atoms = x["pos"].shape[1]
+            sysb = System(
+                h=x["h"][:n].astype(dtype), g=x["g"][:n].astype(dtype),
+                pos=x["pos"][:n].astype(dtype),
+                vel=x["vel"][:n].astype(dtype),
+                mask=jnp.ones((n, n_atoms), bool),
+                box=jnp.full((n, 3), box, dtype),
+                r_cut=jnp.full((n,), r_cut, dtype))
+            _, _, ovf = forward_core(params, cfg_t, sysb)
+            return ovf
+
+        return stage_fn
 
     # -- fault-tolerant (chunked) SMC execution: VERDICT r3 item 4 --------
 
@@ -1518,7 +1532,8 @@ class Main:
                 out[f"gq_{k}"] = np.asarray(v)
             for k, v in glp.items():
                 out[f"gp_{k}"] = np.asarray(v)
-        for i, name in enumerate(("ess", "acc", "betah", "steph")):
+        for i, name in enumerate(("ess", "acc", "betah", "steph",
+                                  "metric")):
             out[f"hist_{name}"] = np.concatenate(
                 [np.asarray(h[i]) for h in hists])
         tmp = path + ".tmp.npz"     # .npz suffix: savez must not append one
@@ -1557,15 +1572,22 @@ class Main:
                      arr(z["beta"], rep), arr(z["eps"], rep),
                      arr(z["lq0"], vec), arr(z["lp"], vec), glq0, glp)
             hists = [tuple(jnp.asarray(z[f"hist_{n}"])
-                           for n in ("ess", "acc", "betah", "steph"))]
+                           for n in ("ess", "acc", "betah", "steph"))
+                     + ((jnp.asarray(z["hist_metric"]),)
+                        if "hist_metric" in z.files
+                        # pre-r5 state files carry no metric history
+                        else (jnp.zeros_like(jnp.asarray(z["hist_ess"]),
+                                             dtype=jnp.int32),))]
             return int(z["stage"]), state, hists
 
     def _log_sample_stages(self, sec, res, n_retries=0, nbr_overflow=""):
         """Write per-temperature SMC/AIS diagnostics (beta, ESS, accept) to
         ``sampling.metrics_csv`` (rank-0-only; no-op when the key is absent).
-        ``n_retries`` (chunked runs) and ``nbr_overflow`` (truncating
-        neighbor formats, final-particle probe) land on the final row so
-        survived device faults and capacity truncation are machine-visible."""
+        ``n_retries`` (chunked runs) lands on the final row; with a
+        truncating neighbor format every stage carries its OWN
+        ``nbr_overflow`` count from the in-program tracked counter
+        (``stage_metric_history``; VERDICT r4 item 7 — mid-anneal
+        truncation is visible, not just the final configurations)."""
         path = sec.get("metrics_csv")
         if not path or not self.is_main:
             return
@@ -1575,6 +1597,8 @@ class Main:
         acc_h = np.asarray(res.accept_history)
         beta_h = (np.asarray(res.beta_history)
                   if res.beta_history is not None else None)
+        ovf_h = (np.asarray(res.stage_metric_history)
+                 if res.stage_metric_history is not None else None)
         for i in range(len(ess_h)):
             last = i == len(ess_h) - 1
             logger.log(stage=i,
@@ -1583,7 +1607,8 @@ class Main:
                        accept=float(acc_h[i]) if i < len(acc_h) else "",
                        log_Z=float(res.log_Z) if last else "",
                        retries=n_retries if last else "",
-                       nbr_overflow=nbr_overflow if last else "")
+                       nbr_overflow=(int(ovf_h[i]) if ovf_h is not None
+                                     else ""))
         logger.close()
 
     def _ff_extras(self, pos, weights, sec):
@@ -1714,6 +1739,11 @@ class Main:
 
         apply_d = ((lambda f: f) if batched
                    else (lambda f: jax.vmap(f)))
+        # truncating neighbor formats: per-round tracked-flow overflow
+        # counter over the replica states (VERDICT r4 item 7; the SMC
+        # analogue runs per anneal stage — see _overflow_stage_fn)
+        track = self.atom_axis == 1 and self._capacity_can_truncate()
+        stage_fn = self._overflow_stage_fn(sec) if track else None
 
         betas = sec.get("betas")
         if betas is not None:
@@ -1770,6 +1800,7 @@ class Main:
                 n_rounds=n_rounds, mcmc_steps=int(sec.get("mcmc_steps", 1)),
                 step_size=step_size,
                 n_leapfrog=int(sec.get("n_leapfrog", 5)), batched=batched,
+                stage_fn=stage_fn,
                 chunk_rounds=chunk, run_segment=run_segment,
                 compiler_options=self.compiler_options)
             n_retries = retries["n"]
@@ -1793,7 +1824,7 @@ class Main:
                             mcmc_steps=int(sec.get("mcmc_steps", 1)),
                             step_size=step_size,
                             n_leapfrog=int(sec.get("n_leapfrog", 5)),
-                            batched=batched)
+                            batched=batched, stage_fn=stage_fn)
 
             res = run(jax.random.PRNGKey(self.seed + 31))
         jax.block_until_ready(res.samples)
@@ -1898,6 +1929,14 @@ class Main:
                 mbar_out["mbar_log_Z_se"] = float(
                     blocks.std(ddof=1) / np.sqrt(len(blocks)))
 
+        nbr_overflow = ""
+        if track and res.round_metric_history is not None:
+            nbr_overflow = int(np.asarray(res.round_metric_history).sum())
+            if nbr_overflow and self.is_main:
+                eprint(f"WARNING: {nbr_overflow} neighbor slots truncated "
+                       f"across the REMC rounds — raise "
+                       f"dynamics.nbr_capacity/cell_capacity", flush=True)
+
         out_path = sec.get("output", "samples.npz")
         keep = {k: np.asarray(v)[discard:]
                 for k, v in res.samples.items()}        # [R-discard, M, ...]
@@ -1941,7 +1980,9 @@ class Main:
                                             else ""),
                                mbar_log_Z=(mbar_out.get("mbar_log_Z", "")
                                            if k == K - 1 else ""),
-                               retries=(n_retries if k == K - 1 else ""))
+                               retries=(n_retries if k == K - 1 else ""),
+                               nbr_overflow=(nbr_overflow if k == K - 1
+                                             else ""))
                 logger.close()
         return res
 

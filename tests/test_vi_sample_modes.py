@@ -845,3 +845,95 @@ def test_beta_start_validation(tmp_path, capsys):
         with pytest.raises(ValueError, match="beta_start"):
             run_main(tmp_path, cfg, f"vi_bad_beta_{bad}.yaml")
     capsys.readouterr()
+
+
+def test_sample_mode_per_stage_nbr_overflow(tmp_path, capsys):
+    """VERDICT r4 item 7: with a truncating neighbor format, EVERY anneal
+    stage carries its own nbr_overflow count in sampling.metrics_csv (the
+    in-program tracked counter), not just a final-particles probe —
+    engineered here by giving the flow a 2-slot topk capacity on a 6-atom
+    target so mid-anneal configurations truncate at every stage."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi_for_ovf.yaml")
+
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 5,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"],
+                     "nbr_mode": "dense", "nbr_capacity": 2,
+                     "validate_capacity": False},
+        "sampling": {
+            "algo": "smc",
+            "n_particles": 16,
+            "n_temps": 3,
+            "mcmc_steps": 1,
+            "step_size": 0.1,
+            "n_leapfrog": 2,
+            "output": str(tmp_path / "ovf_samples.npz"),
+            "metrics_csv": str(tmp_path / "ovf_stages.csv"),
+            "target": {"type": "gaussian", "n_atoms": 6, "std": 0.5,
+                       "kBT": 1.0},
+        },
+    }
+    run_main(tmp_path, sample_cfg, "sample_ovf.yaml")
+    err = capsys.readouterr().err
+    assert "neighbor slots truncated" in err
+
+    rows = (tmp_path / "ovf_stages.csv").read_text().strip().splitlines()
+    head = rows[0].split(",")
+    i_ovf = head.index("nbr_overflow")
+    counts = [int(r.split(",")[i_ovf]) for r in rows[1:]]
+    assert len(counts) == 3
+    # truncation is visible at EVERY stage, including non-final ones (the
+    # r4 probe reported only the final configurations)
+    assert all(c > 0 for c in counts)
+
+    # exact formats: no column noise — all_pairs run leaves it empty
+    sample_cfg["dynamics"] = {
+        "checkpoint_path": cfg["dynamics"]["checkpoint_path"],
+        "nbr_mode": "all_pairs"}
+    sample_cfg["sampling"]["metrics_csv"] = str(tmp_path / "ovf_ap.csv")
+    sample_cfg["sampling"]["output"] = str(tmp_path / "ovf_ap.npz")
+    run_main(tmp_path, sample_cfg, "sample_ovf_ap.yaml")
+    capsys.readouterr()
+    rows = (tmp_path / "ovf_ap.csv").read_text().strip().splitlines()
+    i_ovf = rows[0].split(",").index("nbr_overflow")
+    assert all(r.split(",")[i_ovf] == "" for r in rows[1:])
+
+
+def test_remc_per_round_nbr_overflow(tmp_path, capsys):
+    """REMC analogue: the per-round tracked counter totals into the CSV
+    final row and the warning fires (truncating topk capacity)."""
+    cfg = vi_config(tmp_path, n_epochs=1)
+    run_main(tmp_path, cfg, "vi_for_ovf_r.yaml")
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 5,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"],
+                     "nbr_mode": "dense", "nbr_capacity": 2,
+                     "validate_capacity": False},
+        "sampling": {
+            "algo": "remc",
+            "n_particles": 8,
+            "n_temps": 3,
+            "n_rounds": 4,
+            "discard_rounds": 1,
+            "mcmc_steps": 1,
+            "step_size": 0.1,
+            "n_leapfrog": 2,
+            "output": str(tmp_path / "ovf_remc.npz"),
+            "metrics_csv": str(tmp_path / "ovf_remc.csv"),
+            "target": {"type": "gaussian", "n_atoms": 6, "std": 0.5,
+                       "kBT": 1.0},
+        },
+    }
+    run_main(tmp_path, sample_cfg, "sample_ovf_remc.yaml")
+    err = capsys.readouterr().err
+    assert "neighbor slots truncated" in err
+    rows = (tmp_path / "ovf_remc.csv").read_text().strip().splitlines()
+    i_ovf = rows[0].split(",").index("nbr_overflow")
+    assert int(rows[-1].split(",")[i_ovf]) > 0
