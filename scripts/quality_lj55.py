@@ -80,16 +80,36 @@ VI_P = 256                            # 8000 = 2x vi_lj55.yaml: the 4000-
                                       # HMC moments (measured r4)
 VI_ANNEAL = int(_os.environ.get("QLJ55_VI_ANNEAL", 2500))   # 25 epochs
 VI_LR = float(_os.environ.get("QLJ55_VI_LR", 1e-3))
+# base seed for EVERY RNG stream (init, VI, SMC, HMC, REMC): a second run
+# with a different seed is an independent flow + independent sampler pass
+# — the cross-flow reproducibility probe for the MBAR log_Z (the r4 LJ55
+# number carried an unexplained ~24-nat cross-flow band; re-measure it on
+# the proper target)
+SEED = int(_os.environ.get("QLJ55_SEED", 0))
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 800, 300
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_CHUNK = 1024, 48, 3, 8
 SMC_REPS = 6
-REMC_K, REMC_M, REMC_ROUNDS, REMC_DISCARD = 16, 64, 120, 60
+# ladder knobs env-overridable: the r5 coupled run measured the committed
+# K=16 ladder's cold end pinched (swap 0.04 at the last pair) — a denser
+# cold end is the first dial against it
+REMC_K = int(_os.environ.get("QLJ55_REMC_K", 16))
+REMC_M = int(_os.environ.get("QLJ55_REMC_M", 64))
+REMC_ROUNDS = int(_os.environ.get("QLJ55_REMC_ROUNDS", 120))
+REMC_DISCARD = REMC_ROUNDS // 2
 
 DTYPE = jnp.float32
 # optional cross-invocation cache of the trained VI params (skip the ~7 min
 # retrain when iterating on the sampler stages); empty string disables
 import os as _os
 VI_CACHE = _os.environ.get("QLJ55_VI_CACHE", "")
+
+
+def _key(n):
+    """Seed-offset PRNG stream: SEED=0 reproduces the r4/r5 streams
+    bitwise; any other seed shifts every stream (independent flow +
+    sampler replicate)."""
+    import jax as _jax
+    return _jax.random.PRNGKey(SEED * 1000 + n)
 
 
 def observables(pos):
@@ -145,7 +165,7 @@ def main():
                                      compute_dtype="bfloat16"),
                      nbr_mode="all_pairs", exact_ldj=True, remat=True,
                      position_update=POS_UPDATE)
-    params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
+    params = init_flow(_key(0), cfg, DTYPE)
     target = targets.lj_cluster(N_ATOMS, kBT=KBT, c_osc=C_OSC,
                                 softening=0.0, e_cap=E_CAP)
 
@@ -196,7 +216,7 @@ def main():
         cap = 1.0 / (frac / CAP_START + (1.0 - frac) / E_CAP)
         beta = 1.0 + (BETA_START - 1.0) * frac
         params, opt_state, loss = vi_step(
-            params, opt_state, jax.random.PRNGKey(10 + i), soft, cap, beta)
+            params, opt_state, _key(10 + i), soft, cap, beta)
         if i % 500 == 0:
             print(f"# VI step {i}: loss {float(loss):.1f} "
                   f"(soft {soft:.3f}, cap {cap:.0f}, "
@@ -209,7 +229,7 @@ def main():
         # divergence check on the PARAMS, not the last batch: a single
         # poisoned draw can NaN one batch loss (the optimizer guard skips
         # it) without the flow being broken — evaluate a fresh batch
-        eval_batch = sample_base(jax.random.PRNGKey(999), VI_P, N_ATOMS,
+        eval_batch = sample_base(_key(999), VI_P, N_ATOMS,
                                  NODE_NF, box=1e3, r_cut=1e2, dtype=DTYPE)
         eval_loss = float(jax.jit(lambda p: flow_vi_loss(
             p, cfg, eval_batch, sys_target(0.0, E_CAP, 1.0))[0])(params))
@@ -257,7 +277,7 @@ def main():
     reps, logzs, esss = [], [], []
     for r in range(SMC_REPS):
         kz, ks_r = jax.random.split(jax.random.fold_in(
-            jax.random.PRNGKey(5), r))
+            _key(5), r))
         x0s = retrying(propose, kz)
         res_smc = smc_segments(
             ks_r, x0s, log_q0=log_q0, log_p=log_p,
@@ -286,12 +306,12 @@ def main():
     t_smc = time.time() - t0 - t_vi
 
     # ---- 3. HMC ground truth (seeded from SMC) ---------------------------
-    idx = systematic_resample(jax.random.PRNGKey(6), lw, n=HMC_CHAINS)
+    idx = systematic_resample(_key(6), lw, n=HMC_CHAINS)
     x0h = res_smc.particles["pos"][idx]
-    eps, x0h = dual_averaging_warmup(jax.random.PRNGKey(2), x0h,
+    eps, x0h = dual_averaging_warmup(_key(2), x0h,
                                      target.log_prob, n_adapt=200,
                                      n_leapfrog=10, init_step_size=0.01)
-    res = run_hmc(jax.random.PRNGKey(3), x0h, target.log_prob,
+    res = run_hmc(_key(3), x0h, target.log_prob,
                   n_samples=HMC_SAMPLES, n_warmup=HMC_WARMUP,
                   step_size=eps, n_leapfrog=10)
     m_hmc = moments_chains(res.samples)
@@ -330,13 +350,13 @@ def main():
         return jax.tree_util.tree_map(
             lambda a: a.reshape((REMC_K, REMC_M) + a.shape[1:]), x)
 
-    x0r = retrying(draw_remc, jax.random.PRNGKey(7))
+    x0r = retrying(draw_remc, _key(7))
     # chunked (remc_segments): the monolithic 120-round program is a
     # ~60-90 s single execution, which RELIABLY faults on this tunnel
     # (3/3 attempts incl. backoff, r4) — bounded per-program segments with
     # per-segment retry are the fix the hazard note prescribes
     res_r = remc_segments(
-        jax.random.PRNGKey(8), x0r, log_p=log_p, log_q0=log_q0,
+        _key(8), x0r, log_p=log_p, log_q0=log_q0,
         betas=betas, n_rounds=REMC_ROUNDS, mcmc_steps=1,
         step_size=remc_steps, n_leapfrog=5, chunk_rounds=10,
         run_segment=retrying)
@@ -377,7 +397,8 @@ def main():
         "metric": "lj55_quality",
         "flow": {"hidden": HIDDEN, "flow_steps": FLOW_STEPS,
                  "vi_steps": VI_STEPS, "position_update": POS_UPDATE,
-                 "beta_start": BETA_START},
+                 "beta_start": BETA_START, "cap_start": CAP_START,
+                 "seed": SEED, "remc_k": REMC_K},
         "hmc": m_hmc, "smc": m_smc,
         "U_sigma": round(sig(m_hmc["U"], m_smc["U"], m_hmc["U_se"],
                              m_smc["U_se"]), 2),
