@@ -101,7 +101,7 @@ def remc(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
 
     (x, lq0, lp, glq0, glp), outs = jax.lax.scan(
         one_round, (x0, lq0, lp, glq0, glp), jnp.arange(n_rounds))
-    return _aggregate_remc(x, outs, betas, has_metric=stage_fn is not None)
+    return _aggregate_remc(x, outs, betas)
 
 
 def _flatten_km(t, K, M):
@@ -134,8 +134,8 @@ def _init_remc_caches(log_q0, log_p, x0, batched: bool = False):
     return lq0, lp, glq0, glp
 
 
-def _aggregate_remc(x, outs, betas, has_metric: bool = False) -> REMCResult:
-    samples, accs, rates, pair_ons, metrics = outs
+def _aggregate_remc(x, outs, betas) -> REMCResult:
+    samples, accs, rates, pair_ons, *metrics = outs
     n_on = jnp.maximum(pair_ons.sum(axis=0), 1)             # rounds pair was on
     return REMCResult(
         samples=samples,
@@ -143,7 +143,7 @@ def _aggregate_remc(x, outs, betas, has_metric: bool = False) -> REMCResult:
         swap_accept=rates.sum(axis=0) / n_on,
         accept=accs.mean(axis=0),
         betas=betas,
-        round_metric_history=metrics if has_metric else None,
+        round_metric_history=metrics[0] if metrics else None,
     )
 
 
@@ -248,9 +248,10 @@ def _make_one_round(key, log_q0, log_p, betas, step_size, mcmc_steps,
             r % 2, k_swap, x, lq0, lp, glq0, glp)
 
         target_slot = jax.tree_util.tree_map(lambda a: a[-1], x)
-        metric = (stage_fn(_flatten_km(x, K, M)) if stage_fn is not None
-                  else jnp.zeros((), jnp.int32))
-        out = (target_slot, acc / mcmc_steps, rate, pair_on, metric)
+        out = (target_slot, acc / mcmc_steps, rate, pair_on)
+        if stage_fn is not None:        # metric output only when requested:
+            # the default path keeps the exact pre-r5 program
+            out = out + (stage_fn(_flatten_km(x, K, M)),)
         return (x, lq0, lp, glq0, glp), out
 
     return one_round
@@ -313,6 +314,6 @@ def remc_segments(key, x0, *, log_p: Callable, log_q0: Callable | None = None,
 
     cat = lambda k: jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs), *[o[k] for o in outs])
-    all_outs = tuple(cat(k) for k in range(5))
-    return _aggregate_remc(state[0], all_outs, betas,
-                           has_metric=stage_fn is not None)
+    all_outs = tuple(cat(k)
+                     for k in range(5 if stage_fn is not None else 4))
+    return _aggregate_remc(state[0], all_outs, betas)

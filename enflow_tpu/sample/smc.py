@@ -245,11 +245,14 @@ def _make_anneal_step(log_q0, log_p, *, P, adaptive, target_ess_frac,
             mass=_ensemble_mass(x) if precondition else None)
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
-        metric = (stage_fn(x) if stage_fn is not None
-                  else jnp.zeros((), jnp.int32))
+        # the metric output exists ONLY when a stage_fn was given: the
+        # default path keeps the exact pre-r5 program (an always-present
+        # placeholder measured ~1% off the frozen LJ13 bench line)
+        hist = (ess, acc, beta, eps)
+        if stage_fn is not None:
+            hist = hist + (stage_fn(x),)
         return ((x, log_w, log_z, beta, eps_next,
-                 lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc, beta, eps, metric))
+                 lq0_x, lp_x, glq0_x, glp_x), hist)
 
     return anneal_step
 
@@ -325,16 +328,17 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
     init_w = jnp.full((P,), -jnp.log(P * 1.0), betas.dtype)
     keys = jax.random.split(key, n_temps)
     ((x, log_w, log_z, *_),
-     (ess_hist, acc_hist, beta_hist, step_hist, metric_hist)) = jax.lax.scan(
-        anneal_step,
-        (x0, init_w, jnp.zeros((), betas.dtype),
-         jnp.zeros((), betas.dtype), jnp.asarray(step_size, betas.dtype),
-         lq0_0, lp_0, glq0_0, glp_0),
-        (betas, betas_prev, keys))
+     (ess_hist, acc_hist, beta_hist, step_hist, *metric_hist)) = \
+        jax.lax.scan(
+            anneal_step,
+            (x0, init_w, jnp.zeros((), betas.dtype),
+             jnp.zeros((), betas.dtype), jnp.asarray(step_size, betas.dtype),
+             lq0_0, lp_0, glq0_0, glp_0),
+            (betas, betas_prev, keys))
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
                      beta_history=beta_hist, step_history=step_hist,
-                     stage_metric_history=(metric_hist if stage_fn is not None
+                     stage_metric_history=(metric_hist[0] if metric_hist
                                            else None))
 
 
@@ -435,6 +439,12 @@ def smc_segments(key, x0, *, log_q0: Callable, log_p: Callable,
 
     cat = lambda k: jnp.concatenate([h[k] for h in hists])
     x, log_w, log_z = state[0], state[1], state[2]
+    # a resumed pre-r5 state file may carry 4-entry hist tuples while the
+    # new segments carry 5 — pad the short ones with zeros
+    if stage_fn is not None:
+        hists = [h if len(h) > 4
+                 else h + (jnp.zeros_like(h[0], dtype=jnp.int32),)
+                 for h in hists]
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=cat(0), accept_history=cat(1),
                      beta_history=cat(2), step_history=cat(3),
@@ -479,13 +489,13 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
         eps_next = (_adapted_step(eps, acc, target_accept)
                     if (adapt_step and mcmc_steps > 0) else eps)
         ess = ess_from_log_weights(log_w)
-        metric = (stage_fn(x) if stage_fn is not None
-                  else jnp.zeros((), jnp.int32))
-        return ((x, log_w, eps_next, lq0_x, lp_x, glq0_x, glp_x),
-                (ess, acc, eps, metric))
+        hist = (ess, acc, eps)
+        if stage_fn is not None:                  # see _make_anneal_step
+            hist = hist + (stage_fn(x),)
+        return ((x, log_w, eps_next, lq0_x, lp_x, glq0_x, glp_x), hist)
 
     keys = jax.random.split(key, n_temps)
-    (x, log_w, *_), (ess_hist, acc_hist, step_hist, metric_hist) = \
+    (x, log_w, *_), (ess_hist, acc_hist, step_hist, *metric_hist) = \
         jax.lax.scan(
             anneal_step, (x0, jnp.zeros((P,), betas.dtype),
                           jnp.asarray(step_size, betas.dtype),
@@ -496,5 +506,5 @@ def ais(key, x0, *, log_q0: Callable, log_p: Callable,
     return SMCResult(particles=x, log_weights=log_w, log_Z=log_z,
                      ess_history=ess_hist, accept_history=acc_hist,
                      step_history=step_hist,
-                     stage_metric_history=(metric_hist if stage_fn is not None
+                     stage_metric_history=(metric_hist[0] if metric_hist
                                            else None))

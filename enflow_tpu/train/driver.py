@@ -1532,8 +1532,9 @@ class Main:
                 out[f"gq_{k}"] = np.asarray(v)
             for k, v in glp.items():
                 out[f"gp_{k}"] = np.asarray(v)
-        for i, name in enumerate(("ess", "acc", "betah", "steph",
-                                  "metric")):
+        # hist tuples carry 4 entries, +1 (metric) when a stage_fn is on
+        names = ("ess", "acc", "betah", "steph", "metric")[:len(hists[0])]
+        for i, name in enumerate(names):
             out[f"hist_{name}"] = np.concatenate(
                 [np.asarray(h[i]) for h in hists])
         tmp = path + ".tmp.npz"     # .npz suffix: savez must not append one
@@ -1574,10 +1575,7 @@ class Main:
             hists = [tuple(jnp.asarray(z[f"hist_{n}"])
                            for n in ("ess", "acc", "betah", "steph"))
                      + ((jnp.asarray(z["hist_metric"]),)
-                        if "hist_metric" in z.files
-                        # pre-r5 state files carry no metric history
-                        else (jnp.zeros_like(jnp.asarray(z["hist_ess"]),
-                                             dtype=jnp.int32),))]
+                        if "hist_metric" in z.files else ())]
             return int(z["stage"]), state, hists
 
     def _log_sample_stages(self, sec, res, n_retries=0, nbr_overflow=""):
