@@ -92,6 +92,13 @@ class FlowConfig:
     axis_name: Optional[str] = None
     # Position drift family (LF only):
     #   'shift'   — reference drift ``pos += vel*dt`` (volume-preserving).
+    #   'drift'   — learned translation drift ``pos += (vel + Fp)*dt``:
+    #     the coupled flow's equivariant shift WITHOUT the log-scale —
+    #     volume-preserving (ldj contribution 0) and, unlike 'coupled',
+    #     PBC-COMPATIBLE (translations commute with min-image wrapping
+    #     exactly like the reference shift drift), so periodic fluid
+    #     targets get learned position transport too. Same second per-step
+    #     EGCL conditioner on (vel, h); the S head is simply unused.
     #   'coupled' — L2HMC-style learned drift (Levy et al. 2017 pattern,
     #     re-derived for the EGCL flow): a SECOND per-step EGCL evaluated on
     #     *velocity-space* geometry (vel as the coordinates) emits a per-atom
@@ -168,30 +175,36 @@ def init_flow(key, cfg: FlowConfig, dtype=jnp.float32):
     else:
         raise ValueError(cfg.dequantizer)
     params = {"networks": networks, "dequant": dequant}
-    if cfg.position_update == "coupled":
+    if cfg.position_update in ("coupled", "drift"):
         if cfg.integrator != "lf":
             raise ValueError(
-                "position_update='coupled' is implemented for the leapfrog "
-                "integrator only")
+                f"position_update={cfg.position_update!r} is implemented "
+                "for the leapfrog integrator only")
         # the learned scale exp(S)*pos does not commute with PBC wrapping
         # (measured: a box=20 roundtrip genuinely breaks once scaled
         # positions cross box/2 — RESULTS.md r4). 'images'/'cell' exist
         # only for genuinely periodic boxes, so the combination is always
         # wrong; 'dense'/'topk' min-image against the box and are safe only
         # when box >> |pos| (the open-boundary cluster recipes), so warn.
-        if cfg.nbr_mode in ("images", "cell"):
-            raise ValueError(
-                f"position_update='coupled' breaks invertibility under a "
-                f"periodic box (exp(S) does not commute with PBC wrapping); "
-                f"nbr_mode={cfg.nbr_mode!r} implies a real periodic box — "
-                f"use the shift flow, or an open-boundary nbr_mode")
-        if cfg.nbr_mode in ("dense", "topk"):
-            import warnings
-            warnings.warn(
-                "position_update='coupled' is only exact for open "
-                "boundaries: ensure box >> |pos| so .pbc() is the identity "
-                "(nbr_mode 'all_pairs' is the committed cluster recipe)",
-                stacklevel=2)
+        # 'drift' is translation-only and commutes with wrapping — no
+        # guard (it exists precisely for the periodic targets).
+        if cfg.position_update == "coupled":
+            if cfg.nbr_mode in ("images", "cell"):
+                raise ValueError(
+                    f"position_update='coupled' breaks invertibility under "
+                    f"a periodic box (exp(S) does not commute with PBC "
+                    f"wrapping); nbr_mode={cfg.nbr_mode!r} implies a real "
+                    f"periodic box — use position_update='drift' (the "
+                    f"PBC-compatible learned translation), the shift flow, "
+                    f"or an open-boundary nbr_mode")
+            if cfg.nbr_mode in ("dense", "topk"):
+                import warnings
+                warnings.warn(
+                    "position_update='coupled' is only exact for open "
+                    "boundaries: ensure box >> |pos| so .pbc() is the "
+                    "identity (nbr_mode 'all_pairs' is the committed "
+                    "cluster recipe; 'drift' is the PBC-safe variant)",
+                    stacklevel=2)
 
         def zeroed(p):
             # zero the S head's and Fp gate's output layers: the fresh
@@ -307,9 +320,9 @@ def _maybe_remat(cfg, step):
 
 
 def _lf_xs(params, cfg: FlowConfig):
-    """Per-step scan inputs: the kick EGCLs, plus the drift EGCLs when the
-    coupled position update is on."""
-    if cfg.position_update == "coupled":
+    """Per-step scan inputs: the kick EGCLs, plus the drift EGCLs when a
+    learned position update (coupled/drift) is on."""
+    if cfg.position_update in ("coupled", "drift"):
         return (params["networks"], params["pos_networks"])
     return params["networks"]
 
@@ -321,7 +334,11 @@ def _drift_egcl(params, cfg: FlowConfig, pnet, s: System):
     leaves unchanged — so forward and reverse reproduce the identical
     ``(S, Fp)`` and the coupling inverts exactly. Neighbor selection (and,
     in ring mode, the shard rotation) runs on ``vel`` as the coordinates;
-    the cluster recipes use ``all_pairs`` where that is exact."""
+    the cluster recipes use ``all_pairs`` where that is exact. Under a real
+    periodic box ('drift' mode) the min-image wrap applied to velocity
+    differences is the identity whenever ``|dv| < box/2`` — thermal
+    velocities are O(1) against boxes of many sigma, so the conditioner's
+    geometry is exact there too."""
     (S, Fp, _), ovf = _egcl_at(params, cfg, pnet, s.replace(pos=s.vel))
     m = jnp.asarray(cfg.pos_scale_max / cfg.n_iter, S.dtype)
     return m * jnp.tanh(S / m), Fp, ovf
@@ -329,18 +346,22 @@ def _drift_egcl(params, cfg: FlowConfig, pnet, s: System):
 
 def _lf_forward(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
+    learned = cfg.position_update in ("coupled", "drift")
     coupled = cfg.position_update == "coupled"
 
     def step(s: System, nets):
-        net, pnet = nets if coupled else (nets, None)
+        net, pnet = nets if learned else (nets, None)
         (Q, F, G), ovf = _egcl_at(params, cfg, net, s)
         vel = jnp.exp(Q) * s.vel + F * dt
         g = s.g + G * dt
         ldj = _ldj_sum(cfg, Q)
-        if coupled:
+        if learned:
             S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s.replace(vel=vel))
-            pos = jnp.exp(S) * s.pos + (vel + Fp) * dt
-            ldj = ldj + _ldj_sum_drift(cfg, S)
+            if coupled:
+                pos = jnp.exp(S) * s.pos + (vel + Fp) * dt
+                ldj = ldj + _ldj_sum_drift(cfg, S)
+            else:   # 'drift': translation only — volume-preserving, ldj 0
+                pos = s.pos + (vel + Fp) * dt
             ovf = ovf + ovf2
         else:
             pos = s.pos + vel * dt
@@ -356,15 +377,20 @@ def _lf_forward(params, cfg: FlowConfig, sys: System):
 
 def _lf_reverse(params, cfg: FlowConfig, sys: System):
     dt = jnp.asarray(cfg.dt, sys.pos.dtype)
+    learned = cfg.position_update in ("coupled", "drift")
     coupled = cfg.position_update == "coupled"
 
     def step(s: System, nets):
-        net, pnet = nets if coupled else (nets, None)
+        net, pnet = nets if learned else (nets, None)
         s = s.replace(h=s.h - s.g * dt)
-        if coupled:
+        if learned:
             S, Fp, ovf2 = _drift_egcl(params, cfg, pnet, s)
-            pos = (s.pos - (s.vel + Fp) * dt) * jnp.exp(-S)
-            ldj2 = -_ldj_sum_drift(cfg, S)
+            if coupled:
+                pos = (s.pos - (s.vel + Fp) * dt) * jnp.exp(-S)
+                ldj2 = -_ldj_sum_drift(cfg, S)
+            else:
+                pos = s.pos - (s.vel + Fp) * dt
+                ldj2 = 0.0
             s = s.replace(pos=pos).pbc()
         else:
             s = s.replace(pos=s.pos - s.vel * dt).pbc()

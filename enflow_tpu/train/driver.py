@@ -340,7 +340,9 @@ class Main:
             # 'shift' (reference drift) | 'coupled' (learned L2HMC-style
             # scale+shift drift with a second per-step EGCL on velocity
             # geometry — flow/integrators.py FlowConfig docs; the r4 LJ55
-            # flow-capacity fix)
+            # flow-capacity fix, REQUIRED for LJ55-scale quality per the
+            # r5 gate) | 'drift' (translation-only learned drift —
+            # PBC-compatible, for periodic fluid targets)
             position_update=dyn.get("position_update", "shift"),
             # bounds the coupled drift's TOTAL log-scale across the flow
             # (S = m*tanh(S_raw/m), m = pos_scale_max/n_iter). Both failure

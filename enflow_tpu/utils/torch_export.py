@@ -63,7 +63,7 @@ def params_to_state_dict(params):
 
     if "pos_networks" in params:
         raise ValueError(
-            "position_update='coupled' flows have no reference-format "
+            "position_update='coupled'/'drift' flows have no reference-format "
             "representation (the reference flow has no drift networks, "
             "dynamics.py:12-21); export the shift-flow part is not "
             "meaningful — keep coupled checkpoints in the native npz format")

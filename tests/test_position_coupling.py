@@ -255,3 +255,116 @@ def test_coupled_rejects_periodic_nbr_modes():
     with pytest.warns(UserWarning, match="open"):
         init_flow(jax.random.PRNGKey(0), coupled_cfg(nbr_mode="dense"),
                   DTYPE)
+
+
+def drift_cfg(**kw):
+    base = dict(n_iter=3, dt=0.05,
+                egcl=EGCLConfig(node_nf=4, hidden_nf=16),
+                integrator="lf", nbr_mode="all_pairs",
+                position_update="drift", exact_ldj=True,
+                dequantizer="floor")
+    base.update(kw)
+    return FlowConfig(**base)
+
+
+def test_drift_invertible_under_periodic_box():
+    """position_update='drift' (translation-only learned drift) is exactly
+    invertible under a REAL periodic box — translations commute with
+    min-image wrapping, unlike the coupled scale. Positions compare modulo
+    the box; (vel, g, h) compare exactly."""
+    from enflow_tpu.utils.helpers import min_image
+
+    rng = np.random.default_rng(11)
+    B, N, nf, box = 2, 6, 4, 3.0
+    sys0 = System(
+        h=jnp.asarray(rng.normal(size=(B, N, nf)) * 0.5, DTYPE),
+        g=jnp.asarray(rng.normal(size=(B, N, nf)) * 0.3, DTYPE),
+        pos=jnp.asarray(rng.uniform(0, box, size=(B, N, 3)), DTYPE),
+        vel=jnp.asarray(rng.normal(size=(B, N, 3)) * 0.5, DTYPE),
+        mask=jnp.ones((B, N), bool),
+        box=jnp.full((B, 3), box, DTYPE),
+        r_cut=jnp.full((B,), 1.2, DTYPE),
+    )
+    cfg = drift_cfg(nbr_mode="dense")
+    params = activate(init_flow(jax.random.PRNGKey(5), cfg, DTYPE),
+                      jax.random.PRNGKey(6), scale=1.0)
+    out, ldj = forward_core(params, cfg, sys0)
+    # the learned translation must move positions beyond the shift drift
+    shift_params = {k: v for k, v in params.items() if k != "pos_networks"}
+    cfg_s = dataclasses.replace(cfg, position_update="shift")
+    out_s, _ = forward_core(shift_params, cfg_s, sys0)
+    assert not np.allclose(np.asarray(out.pos), np.asarray(out_s.pos),
+                           atol=1e-3)
+    back, ldj_r = reverse_core(params, cfg, out)
+    dpos = np.asarray(min_image(back.pos - sys0.pos, sys0.box[:, None]))
+    np.testing.assert_allclose(dpos, 0.0, atol=1e-8)
+    for f in ("vel", "g", "h"):
+        np.testing.assert_allclose(np.asarray(getattr(back, f)),
+                                   np.asarray(getattr(sys0, f)), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_r), -np.asarray(ldj),
+                               atol=1e-8)
+
+
+def test_drift_is_volume_preserving():
+    """The drift variant adds NO log-det: zero the kick networks (Q=0) and
+    the total ldj is exactly 0 while positions still transport."""
+    rng = np.random.default_rng(12)
+    sys0 = cluster_system(rng)
+    cfg = drift_cfg()
+    params = init_flow(jax.random.PRNGKey(7), cfg, DTYPE)
+    params["networks"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                params["networks"])
+    params = activate(params, jax.random.PRNGKey(8), scale=1.0)
+    out, ldj, _ = _lf_forward(params, cfg, sys0)
+    np.testing.assert_array_equal(np.asarray(ldj), 0.0)
+    # Fp must actually act (otherwise the test is vacuous): with zeroed
+    # kicks the shift drift would move pos by exactly vel*dt*n_iter-ish —
+    # check deviation from the pure-shift trajectory
+    cfg_s = dataclasses.replace(cfg, position_update="shift")
+    out_s, _, _ = _lf_forward(
+        {k: v for k, v in params.items() if k != "pos_networks"},
+        cfg_s, sys0)
+    assert not np.allclose(np.asarray(out.pos), np.asarray(out_s.pos),
+                           atol=1e-3)
+
+
+def test_drift_allows_periodic_nbr_modes():
+    """Unlike 'coupled', 'drift' initializes under the periodic formats
+    without raising (it exists for the periodic fluid targets)."""
+    init_flow(jax.random.PRNGKey(0),
+              drift_cfg(nbr_mode="images", nbr_capacity=8), DTYPE)
+    init_flow(jax.random.PRNGKey(0),
+              drift_cfg(nbr_mode="cell", nbr_capacity=8, cells_per_dim=2,
+                        cell_capacity=4), DTYPE)
+
+
+def test_drift_ldj_matches_autodiff():
+    """Full Jacobian check (open boundary): the drift flow's ldj — kicks
+    only — equals autodiff log|det J|."""
+    rng = np.random.default_rng(13)
+    B, N, nf = 1, 3, 2
+    cfg = drift_cfg(n_iter=2, egcl=EGCLConfig(node_nf=nf, hidden_nf=8))
+    params = activate(init_flow(jax.random.PRNGKey(9), cfg, DTYPE),
+                      jax.random.PRNGKey(10))
+    box = jnp.full((B, 3), 1e6, DTYPE)
+    r_cut = jnp.full((B,), 1e5, DTYPE)
+    mask = jnp.ones((B, N), bool)
+    sizes = [N * nf, N * nf, N * 3, N * 3]
+
+    def unflatten(x):
+        hs, gs, ps, vs = jnp.split(x, np.cumsum(sizes)[:-1])
+        return System(h=hs.reshape(B, N, nf), g=gs.reshape(B, N, nf),
+                      pos=ps.reshape(B, N, 3), vel=vs.reshape(B, N, 3),
+                      mask=mask, box=box, r_cut=r_cut)
+
+    def run(x):
+        s, ldj, _ = _lf_forward(params, cfg, unflatten(x))
+        return jnp.concatenate([s.h.ravel(), s.g.ravel(),
+                                s.pos.ravel(), s.vel.ravel()]), ldj
+
+    x0 = jnp.asarray(rng.normal(size=(sum(sizes),)), DTYPE)
+    J = jax.jacfwd(lambda x: run(x)[0])(x0)
+    sign, logdet = np.linalg.slogdet(np.asarray(J))
+    assert sign > 0
+    _, ldj = run(x0)
+    assert float(ldj[0]) == pytest.approx(float(logdet), abs=1e-8)

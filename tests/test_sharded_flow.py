@@ -230,12 +230,14 @@ def test_driver_atom_axis_train_and_generate(tmp_path, capsys):
     assert h.shape == (6, 5)
 
 
-def test_coupled_position_update_sharded_parity(mesh):
-    """The learned position coupling composes with the atom-axis ring path:
-    sharded forward/reverse match dense, including the drift EGCL evaluated
-    on velocity-space geometry and its psummed 3*sum(S) ldj."""
+@pytest.mark.parametrize("pos_update", ["coupled", "drift"])
+def test_coupled_position_update_sharded_parity(mesh, pos_update):
+    """The learned position updates (coupled scale+shift / translation-only
+    drift) compose with the atom-axis ring path: sharded forward/reverse
+    match dense, including the drift EGCL evaluated on velocity-space
+    geometry and (coupled) its psummed 3*sum(S) ldj."""
     from tests.test_position_coupling import activate
-    cfg = make_cfg("all_pairs", position_update="coupled", exact_ldj=True)
+    cfg = make_cfg("all_pairs", position_update=pos_update, exact_ldj=True)
     params = activate(init_flow(jax.random.PRNGKey(3), cfg, DTYPE),
                       jax.random.PRNGKey(4))
     # open-boundary system: the coupled scale does not commute with PBC

@@ -937,3 +937,45 @@ def test_remc_per_round_nbr_overflow(tmp_path, capsys):
     rows = (tmp_path / "ovf_remc.csv").read_text().strip().splitlines()
     i_ovf = rows[0].split(",").index("nbr_overflow")
     assert int(rows[-1].split(",")[i_ovf]) > 0
+
+
+def test_flow_vi_drift_position_update_fluid_e2e(tmp_path, capsys):
+    """position_update: drift — the PBC-compatible learned translation
+    trains against the periodic lj_fluid target and sample mode runs SMC
+    through the drift flow (checkpoint roundtrip included)."""
+    cfg = vi_config(tmp_path, n_epochs=2)
+    cfg["dynamics"]["position_update"] = "drift"
+    cfg["dynamics"]["nbr_mode"] = "dense"
+    cfg["training"]["target"] = {
+        "type": "lj_fluid", "n_atoms": 6, "box": 2.5, "kBT": 2.0,
+        "softening": 0.1, "cutoff": 1.2, "e_cap": 500.0,
+    }
+    run_main(tmp_path, cfg, "vi_drift.yaml")
+    capsys.readouterr()
+
+    sample_cfg = {
+        "mode": "sample",
+        "units": {"time": "pico", "dist": "ang"},
+        "precision": "float64",
+        "seed": 5,
+        "dynamics": {"checkpoint_path": cfg["dynamics"]["checkpoint_path"],
+                     "position_update": "drift", "nbr_mode": "dense"},
+        "sampling": {
+            "algo": "smc",
+            "n_particles": 16,
+            "n_temps": 3,
+            "mcmc_steps": 1,
+            "step_size": 0.1,
+            "n_leapfrog": 2,
+            "output": str(tmp_path / "drift_samples.npz"),
+            "target": {"type": "lj_fluid", "n_atoms": 6, "box": 2.5,
+                       "kBT": 2.0, "softening": 0.1, "cutoff": 1.2,
+                       "e_cap": 500.0},
+        },
+    }
+    run_main(tmp_path, sample_cfg, "sample_drift.yaml")
+    out = capsys.readouterr().out
+    assert "log_Z=" in out
+    data = np.load(tmp_path / "drift_samples.npz")
+    assert np.isfinite(data["pos"]).all()
+    assert np.isfinite(float(data["log_Z"]))
