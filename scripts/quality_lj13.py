@@ -33,6 +33,14 @@ from enflow_tpu.sample.vi import flow_vi_loss, make_system_target, sample_base
 N_ATOMS, NODE_NF, HIDDEN, FLOW_STEPS = 13, 5, 128, 5
 KBT, C_OSC = 2.0, 0.5
 VI_STEPS, VI_P = 8000, 512
+import os as _os
+# 'shift' (default — the frozen r1-r5 gate config) | 'coupled'. When
+# coupled, the wall is held at FULL strength through the anneal
+# (cap_start = cap_final): position-transporting flows wedge into the
+# annealed wall (RESULTS.md r5 runs A/C measured the shift flow wedging
+# at LJ55 too, but the frozen LJ13 gate keeps its committed recipe for
+# round-over-round comparability — N=13 measured clean since r1).
+POS_UPDATE = _os.environ.get("QLJ13_POS_UPDATE", "shift")
 HMC_CHAINS, HMC_SAMPLES = 64, 1500
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS = 1024, 40, 6
 SMC_REPS = 8   # independent replicates: resampling correlates particle
@@ -82,7 +90,8 @@ def main():
     cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
                      egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
                                      compute_dtype="bfloat16"),
-                     nbr_mode="all_pairs", exact_ldj=True)
+                     nbr_mode="all_pairs", exact_ldj=True,
+                     position_update=POS_UPDATE)
     params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
     target = targets.lj_cluster(N_ATOMS, kBT=KBT, c_osc=C_OSC)
 
@@ -109,10 +118,11 @@ def main():
         return optax.apply_updates(params, upd), opt_state, loss
 
     anneal = int(0.5 * VI_STEPS)
+    cap_start = 100.0 if POS_UPDATE == "shift" else 500.0   # see POS_UPDATE
     for i in range(VI_STEPS):
         frac = max(0.0, 1.0 - i / anneal)
         soft = 0.2 * frac
-        cap = 1.0 / (frac / 100.0 + (1.0 - frac) / 500.0)
+        cap = 1.0 / (frac / cap_start + (1.0 - frac) / 500.0)
         params, opt_state, loss = vi_step(
             params, opt_state, jax.random.PRNGKey(10 + i), soft, cap)
     loss.block_until_ready()
@@ -197,6 +207,7 @@ def main():
     sig = lambda a, b, sa, sb: abs(a - b) / max((sa ** 2 + sb ** 2) ** 0.5,
                                                  1e-12)
     print(json.dumps({
+        "position_update": POS_UPDATE,
         "hmc": m_hmc, "smc": m_smc,
         "U_sigma": round(sig(m_hmc["U"], m_smc["U"], m_hmc["U_se"],
                              m_smc["U_se"]), 2),
