@@ -11,3 +11,4 @@ from .smc import (
     smc,
     ais,
 )
+from .ti import thermodynamic_integration, geometric_grid, TIResult

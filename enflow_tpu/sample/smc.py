@@ -306,9 +306,16 @@ def smc(key, x0, *, log_q0: Callable, log_p: Callable,
     ``exp(log_Z)`` is unbiased for the ratio, so by Jensen ``log_Z`` itself
     is biased LOW, increasingly so for poorly-mixed anneals — measured on
     LJ13: 9.6 (untrained flow, 8 temps) -> 12.6 (weak flow, adaptive) ->
-    16.3 (trained flow, 40 temps x 6 sweeps) vs ~17.7 from MBAR over an
-    equilibrated REMC ladder (the asymptotically unbiased estimator; use
-    ``sampling.mbar`` for free energies, SMC ``log_Z`` as a lower bound).
+    16.3 (trained flow, 40 temps x 6 sweeps) -> 21.7 (coupled flow, fixed
+    48-temp ladder). The r5 estimator arbitration (RESULTS.md) showed this
+    lower bound is usually the most TRUSTWORTHY number the framework
+    produces: converged MBAR-over-REMC sat 1-1.7 nats BELOW same-flow SMC
+    bounds at LJ13 (ladder-mixing bias invisible to its block SEs), with
+    thermodynamic integration (``sample/ti.py``, no logsumexp/reweighting/
+    resampling) refereeing in SMC's favor. Report the SMC/AIS bound with a
+    strong flow as the primary log_Z evidence; use ``sampling.mbar`` as a
+    cross-check only when cold-end swap acceptance is demonstrably healthy,
+    and ``sampling.algo: ti`` to certify a bound.
     """
     P = jax.tree_util.tree_leaves(x0)[0].shape[0]
     if betas is not None:

@@ -1259,10 +1259,12 @@ class Main:
             return self._sample_remc(sec, propose, log_q0, log_p, P)
         if algo_name in ("hmc", "nuts", "mala"):
             return self._sample_mcmc(algo_name, sec, propose, log_p, P)
+        if algo_name == "ti":
+            return self._sample_ti(sec, propose, log_q0, log_p, P)
         if algo_name not in ("smc", "ais"):
             raise ValueError(
                 f"sampling.algo={algo_name!r}; expected one of "
-                "smc | ais | remc | hmc | nuts | mala")
+                "smc | ais | remc | hmc | nuts | mala | ti")
         return self._run_smc_ais(sec, algo_name, propose, log_q0, log_p, P,
                                  n_atoms, n_pad, batched=False)
 
@@ -1720,6 +1722,72 @@ class Main:
                               for k, v in extra_info.items()})
                 logger.close()
         return samples
+
+    def _sample_ti(self, sec, propose, log_q0, log_p, C):
+        """``sampling.algo: ti`` — thermodynamic integration along the flow
+        bridge (``sample/ti.py``).
+
+        The log_Z estimator with no Jensen bias (no logsumexp), no
+        reweighting (no MBAR ladder-mixing bias) and no resampling; at
+        LJ13 it refereed the r5 SMC-vs-MBAR disagreement (RESULTS.md).
+        Use it to certify an SMC/AIS lower bound or audit an MBAR value.
+
+        Keys: ``n_particles`` (chain count), ``ti_nodes`` (default 25),
+        ``beta_min``, ``n_samples`` (sweeps per node, default 400),
+        ``n_warmup`` (default 150), ``step_size`` (beta=0 end, default
+        0.08), ``step_size_final`` (beta=1 end, default step_size/3),
+        ``n_leapfrog``. Per-node programs ride the driver's retry-once
+        runner (the chunking discipline of ``smc_segments``). Output npz:
+        final beta=1 chain states (unweighted target draws) + the node
+        table (betas / integrand means / SEs / acceptances)."""
+        from ..sample.ti import thermodynamic_integration
+
+        kp, kr = jax.random.split(jax.random.PRNGKey(self.seed + 37))
+        x0 = self._jit(propose)(kp)
+        run, retries = self._retrying_runner()
+        res = thermodynamic_integration(
+            kr, x0, log_q0=log_q0, log_p=log_p,
+            n_nodes=int(sec.get("ti_nodes", 25)),
+            beta_min=float(sec.get("beta_min", 0.01)),
+            n_steps=int(sec.get("n_samples", 400)),
+            n_warmup=int(sec.get("n_warmup", 150)),
+            step_size=float(sec.get("step_size", 0.08)),
+            step_size_final=(None if sec.get("step_size_final") is None
+                             else float(sec["step_size_final"])),
+            n_leapfrog=int(sec.get("n_leapfrog", 5)),
+            run_node=run, jit=self._jit)
+        samples = res.x
+        if self.num_processes > 1:
+            from jax.experimental import multihost_utils
+            samples = multihost_utils.process_allgather(samples, tiled=True)
+        flat = {k: np.asarray(v) for k, v in samples.items()}
+        out_path = sec.get("output", "samples.npz")
+        extra_out = self._ff_extras(flat["pos"], None, sec)
+        if self.is_main:
+            np.savez(out_path, algo="ti", log_Z=float(res.log_Z),
+                     log_Z_se=float(res.se), quad_err=float(res.quad_err),
+                     betas=np.asarray(res.betas),
+                     node_mean=np.asarray(res.node_mean),
+                     node_se=np.asarray(res.node_se),
+                     node_accept=np.asarray(res.accept),
+                     **flat, **extra_out)
+            print(f"TI over {len(np.asarray(res.betas))} nodes x {C} chains"
+                  f" -> {out_path}  log_Z={float(res.log_Z):.3f}"
+                  f" +- {float(res.se):.3f} (quad_err {float(res.quad_err):.3f},"
+                  f" mean accept {float(np.asarray(res.accept).mean()):.2f},"
+                  f" retries {retries['n']})", flush=True)
+            csv_path = sec.get("metrics_csv")
+            if csv_path:
+                from ..utils.observe import MetricsLogger
+                logger = MetricsLogger(csv_path)
+                for i in range(len(np.asarray(res.betas))):
+                    logger.log(algo="ti", node=i,
+                               beta=float(np.asarray(res.betas)[i]),
+                               integrand=float(np.asarray(res.node_mean)[i]),
+                               integrand_se=float(np.asarray(res.node_se)[i]),
+                               accept=float(np.asarray(res.accept)[i]))
+                logger.close()
+        return res
 
     def _sample_remc(self, sec, propose, log_q0, log_p, M, batched=False,
                      n_atoms=None, n_pad=None):

@@ -41,13 +41,23 @@ import os as _os
 # at LJ55 too, but the frozen LJ13 gate keeps its committed recipe for
 # round-over-round comparability — N=13 measured clean since r1).
 POS_UPDATE = _os.environ.get("QLJ13_POS_UPDATE", "shift")
+# numerics knobs for the log_Z noise-bias probe (r5): symmetric per-
+# particle log-weight noise INFLATES logsumexp-based log_Z estimates
+# (convexity), and the coupled flow amplifies bf16/f32 round-off through
+# exp(S) — compare float32+bfloat16 against float64 to expose it
+PRECISION = _os.environ.get("QLJ13_PRECISION", "float32")
+COMPUTE_DTYPE = _os.environ.get("QLJ13_COMPUTE_DTYPE", "bfloat16") or None
+# optional cross-invocation cache of the trained VI params (as in
+# quality_lj55.py): lets follow-up estimator studies (e.g. the r5 MBAR
+# mixing-bias calibration) reuse the gate's flow
+VI_CACHE = _os.environ.get("QLJ13_VI_CACHE", "")
 HMC_CHAINS, HMC_SAMPLES = 64, 1500
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS = 1024, 40, 6
 SMC_REPS = 8   # independent replicates: resampling correlates particle
                # ancestries, so the within-run ESS-based SE understates the
                # true Monte-Carlo error — replicate scatter is the honest SE
 
-DTYPE = jnp.float32
+DTYPE = jnp.float64 if PRECISION == "float64" else jnp.float32
 
 
 def observables(pos):
@@ -87,9 +97,13 @@ def moments_chains(samples):
 
 def main():
     t0 = time.time()
+    if PRECISION == "float64":
+        jax.config.update("jax_enable_x64", True)
     cfg = FlowConfig(n_iter=FLOW_STEPS, dt=0.05,
                      egcl=EGCLConfig(node_nf=NODE_NF, hidden_nf=HIDDEN,
-                                     compute_dtype="bfloat16"),
+                                     compute_dtype=(None if COMPUTE_DTYPE
+                                                    in ("none", None)
+                                                    else COMPUTE_DTYPE)),
                      nbr_mode="all_pairs", exact_ldj=True,
                      position_update=POS_UPDATE)
     params = init_flow(jax.random.PRNGKey(0), cfg, DTYPE)
@@ -119,13 +133,27 @@ def main():
 
     anneal = int(0.5 * VI_STEPS)
     cap_start = 100.0 if POS_UPDATE == "shift" else 500.0   # see POS_UPDATE
-    for i in range(VI_STEPS):
+    import os as _osp
+    if VI_CACHE and _osp.path.exists(VI_CACHE):
+        with np.load(VI_CACHE) as z:
+            flat, tree = jax.tree_util.tree_flatten(params)
+            params = jax.tree_util.tree_unflatten(
+                tree, [jnp.asarray(z[f"p{i}"]) for i in range(len(flat))])
+        vi_range = range(0)
+    else:
+        vi_range = range(VI_STEPS)
+    for i in vi_range:
         frac = max(0.0, 1.0 - i / anneal)
         soft = 0.2 * frac
         cap = 1.0 / (frac / cap_start + (1.0 - frac) / 500.0)
         params, opt_state, loss = vi_step(
             params, opt_state, jax.random.PRNGKey(10 + i), soft, cap)
-    loss.block_until_ready()
+    if len(vi_range):
+        loss.block_until_ready()
+        if VI_CACHE:
+            flat, _ = jax.tree_util.tree_flatten(params)
+            np.savez(VI_CACHE, **{f"p{i}": np.asarray(l)
+                                  for i, l in enumerate(flat)})
     t_vi = time.time() - t0
 
     # ---- 2. flow-SMC with the corrected pushforward density ---------------
