@@ -1177,10 +1177,10 @@ class Main:
             # 'atom'. Densities are shard_map bodies (ring EGCL flow +
             # ring pair-term target) fed to smc/ais(batched=True); see
             # sample/sharded.py.
-            if algo_name not in ("smc", "ais", "remc"):
+            if algo_name not in ("smc", "ais", "remc", "ti"):
                 raise NotImplementedError(
                     f"sampling.algo={algo_name!r} with parallel.atom_axis > 1"
-                    " — atom-sharded sampling supports smc | ais | remc")
+                    " — atom-sharded sampling supports smc | ais | remc | ti")
             from ..sample.sharded import make_sample_fns
             n_chain = int(self.mesh.shape["data"])
             if P % n_chain:
@@ -1195,6 +1195,9 @@ class Main:
                 return self._sample_remc(sec, propose, log_q0, log_p, P,
                                          batched=True, n_atoms=n_atoms,
                                          n_pad=n_pad)
+            if algo_name == "ti":
+                return self._sample_ti(sec, propose, log_q0, log_p, P,
+                                       batched=True, n_atoms=n_atoms)
             return self._run_smc_ais(sec, algo_name, propose, log_q0, log_p,
                                      P, n_atoms, n_pad, batched=True)
 
@@ -1723,7 +1726,8 @@ class Main:
                 logger.close()
         return samples
 
-    def _sample_ti(self, sec, propose, log_q0, log_p, C):
+    def _sample_ti(self, sec, propose, log_q0, log_p, C, batched=False,
+                   n_atoms=None):
         """``sampling.algo: ti`` — thermodynamic integration along the flow
         bridge (``sample/ti.py``).
 
@@ -1739,14 +1743,19 @@ class Main:
         ``n_leapfrog``. Per-node programs ride the driver's retry-once
         runner (the chunking discipline of ``smc_segments``). Output npz:
         final beta=1 chain states (unweighted target draws) + the node
-        table (betas / integrand means / SEs / acceptances)."""
+        table (betas / integrand means / SEs / acceptances).
+
+        ``batched``: atom-sharded runs — the shard_map densities from
+        ``make_sample_fns`` are already the ``[C, ...] -> [C]`` batched
+        contract TI's kernels consume; padded atoms are trimmed to
+        ``n_atoms`` on output like every other sharded sampler path."""
         from ..sample.ti import thermodynamic_integration
 
         kp, kr = jax.random.split(jax.random.PRNGKey(self.seed + 37))
-        x0 = self._jit(propose)(kp)
+        x0 = self._jit(lambda k: propose(k, C))(kp)
         run, retries = self._retrying_runner()
         res = thermodynamic_integration(
-            kr, x0, log_q0=log_q0, log_p=log_p,
+            kr, x0, log_q0=log_q0, log_p=log_p, batched=batched,
             n_nodes=int(sec.get("ti_nodes", 25)),
             beta_min=float(sec.get("beta_min", 0.01)),
             n_steps=int(sec.get("n_samples", 400)),
@@ -1761,6 +1770,8 @@ class Main:
             from jax.experimental import multihost_utils
             samples = multihost_utils.process_allgather(samples, tiled=True)
         flat = {k: np.asarray(v) for k, v in samples.items()}
+        if n_atoms is not None:          # trim sharded atom padding
+            flat = {k: v[:, :n_atoms] for k, v in flat.items()}
         out_path = sec.get("output", "samples.npz")
         extra_out = self._ff_extras(flat["pos"], None, sec)
         if self.is_main:

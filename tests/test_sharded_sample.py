@@ -431,3 +431,73 @@ def test_lj_fluid_requires_box(tmp_path):
     path.write_text(yaml.safe_dump(cfg))
     with pytest.raises(ValueError, match="box"):
         Main()(str(path))
+
+
+def test_sharded_ti_matches_dense(mesh2d):
+    """Thermodynamic integration over shard_map densities (batched=True)
+    == the dense-batched oracle, same seed, to reduction-order round-off."""
+    from enflow_tpu.sample.ti import thermodynamic_integration
+
+    n_atoms = 4
+    t = targets.lj_cluster(n_atoms, kBT=2.0, softening=0.05, e_cap=1e3)
+    prop_d, q0_d, p_d, _ = _fns(t, n_atoms)
+    prop_s, q0_s, p_s, _ = _fns(t, n_atoms, mesh=mesh2d)
+
+    def run(prop, q0, p):
+        x0 = jax.jit(prop, static_argnums=1)(jax.random.PRNGKey(3), 16)
+        return thermodynamic_integration(
+            jax.random.PRNGKey(5), x0, log_q0=q0, log_p=p, batched=True,
+            n_nodes=4, n_steps=12, n_warmup=4, step_size=0.05,
+            n_leapfrog=2)
+
+    r_d = run(prop_d, q0_d, p_d)
+    r_s = run(prop_s, q0_s, p_s)
+    np.testing.assert_allclose(float(r_s.log_Z), float(r_d.log_Z),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(r_s.node_mean),
+                               np.asarray(r_d.node_mean), atol=1e-8)
+    for k in r_d.x:
+        np.testing.assert_allclose(np.asarray(r_s.x[k]),
+                                   np.asarray(r_d.x[k]), atol=1e-8)
+
+
+def test_driver_sample_atom_axis_ti(tmp_path, capsys):
+    """Driver e2e: sampling.algo: ti with parallel.atom_axis — TI nodes run
+    as (chain x atom) shard_map programs; outputs trimmed to n_atoms."""
+    import yaml
+    from enflow_tpu.train.driver import Main
+
+    cfg = {
+        "mode": "sample",
+        "seed": 0,
+        "units": {"time": "pico", "dist": "ang"},
+        "parallel": {"atom_axis": 4},
+        "dynamics": {
+            "integrator": "lf", "n_iter": 2, "dt": 0.05,
+            "nbr_mode": "all_pairs",
+            "network": {"hidden_nf": 8, "node_nf": 3},
+            "checkpoint_path": "",
+        },
+        "sampling": {
+            "algo": "ti",
+            "target": {"type": "lj_cluster", "n_atoms": 6, "kBT": 2.0,
+                       "softening": 0.1, "e_cap": 1000.0},
+            "n_particles": 16, "ti_nodes": 4, "n_samples": 12,
+            "n_warmup": 4, "step_size": 0.05, "n_leapfrog": 2,
+            "output": str(tmp_path / "ti.npz"),
+            "metrics_csv": str(tmp_path / "ti.csv"),
+        },
+    }
+    path = tmp_path / "ti.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    m = Main()
+    m(str(path))
+    out = np.load(tmp_path / "ti.npz")
+    assert out["pos"].shape == (16, 6, 3)
+    assert out["h"].shape == (16, 6, 3)
+    assert np.isfinite(out["log_Z"])
+    assert out["betas"].shape == (4,)
+    assert np.isfinite(out["node_mean"]).all()
+    assert "TI over 4 nodes x 16 chains" in capsys.readouterr().out
+    with open(tmp_path / "ti.csv") as f:
+        assert len(f.read().strip().splitlines()) == 5
