@@ -47,8 +47,11 @@ class TIResult(NamedTuple):
     betas: jax.Array       # [K] node grid
     node_mean: jax.Array   # [K] E_beta[log_p - log_q0] estimates
     node_se: jax.Array     # [K] across-chain SEs of the node means
-    accept: jax.Array      # [K] mean HMC acceptance per node
+    accept: jax.Array      # [K] mean HMC acceptance per node (post-warmup
+                           # only when adapt_step)
     x: Any                 # final chains (at betas[-1] = 1: target draws)
+    step_size: jax.Array = None  # [K] per-node step sizes actually used
+                                 # (post-adaptation when adapt_step)
 
 
 def geometric_grid(n_nodes: int, beta_min: float = 0.01):
@@ -76,7 +79,9 @@ def thermodynamic_integration(
         betas=None, n_nodes: int = 25, beta_min: float = 0.01,
         n_steps: int = 400, n_warmup: int = 150,
         step_size: float = 0.08, step_size_final: float | None = None,
-        n_leapfrog: int = 5, batched: bool = False,
+        n_leapfrog: int = 5, adapt_step: bool = False,
+        target_accept: float = 0.65, batched: bool = False,
+        chunk_steps: int | None = None,
         run_node=None, jit=jax.jit) -> TIResult:
     """Estimate ``log(Z_p / Z_q0)`` by thermodynamic integration.
 
@@ -95,8 +100,26 @@ def thermodynamic_integration(
         beta from ``step_size`` at 0 to ``step_size_final`` (default
         ``step_size / 3``) at 1 — the tempered target sharpens as the
         physical term takes over.
+      adapt_step: adapt the step size toward ``target_accept`` during each
+        node's WARMUP sweeps only (multiplicative log-space updates from
+        the sweep's mean acceptance), frozen before any kept sweep — the
+        kept chain is a fixed valid kernel, so the estimator is unbiased
+        exactly as without adaptation. The adapted value warm-starts the
+        next node (the interpolation schedule becomes the first node's
+        initial guess). Use for targets whose bridge scale is unknown
+        (e.g. LJ55-class flows); reported ``accept`` becomes
+        post-warmup-only.
+      chunk_steps: split each node's sweeps into bounded per-program
+        segments of at most this many sweeps, state carried on-device
+        between dispatches — BITWISE identical to the monolithic node
+        (the same fori_loop math, just dispatched in pieces). Required at
+        LJ55-class cost: a node of 300 sweeps x 5 leapfrog flow
+        value-and-grads is a 60-90 s single program, the regime that
+        faults the axon tunnel RELIABLY (r4, and re-confirmed by this
+        estimator's first LJ55 attempt: 3 consecutive UNAVAILABLEs
+        through the retry hook). Keep per-program wall time modest.
       run_node: optional executor ``f(fn, *args) -> fn(*args)`` wrapping
-        each node dispatch (retry-on-UNAVAILABLE etc., same contract as
+        each dispatch (retry-on-UNAVAILABLE etc., same contract as
         ``smc_segments``'s ``run_segment``).
 
     Returns:
@@ -129,40 +152,77 @@ def thermodynamic_integration(
         vgp = jax.vmap(jax.value_and_grad(log_p))
 
     @jit
-    def run_node_fn(key, x, beta, eps):
+    def init_caches(x):
         vq, gq = vgq(x)
         vp, gp = vgp(x)
-        vals, grads = (vq, vp), (gq, gp)
+        return (vq, vp), (gq, gp)
 
-        def sweep(i, st):
-            x, vals, grads, acc, s_d, n_d = st
-            kk = jax.random.fold_in(key, i)
-            x, a, vals, grads = tempered_hmc_kernel_batched(
-                kk, x, vgq, vgp, beta, eps, n_leapfrog, vals, grads)
-            d = vals[1] - vals[0]                      # [C] log_p - log_q0
-            keep = (i >= n_warmup).astype(d.dtype)
-            return (x, vals, grads, acc + a.mean(),
-                    s_d + keep * d, n_d + keep)
+    seg_fns = {}
 
-        zero = jnp.zeros_like(vals[0])
-        x, vals, grads, acc, s_d, n_d = jax.lax.fori_loop(
-            0, n_steps, sweep, (x, vals, grads, 0.0, zero, 0.0))
-        chain_means = s_d / n_d                        # [C]
-        return x, acc / n_steps, chain_means
+    def make_seg(seg_len):
+        # one compile per distinct segment length (at most two: the chunk
+        # size and a final remainder); beta/eps/i0 are traced
+        if seg_len in seg_fns:
+            return seg_fns[seg_len]
+
+        @jit
+        def seg_fn(key, beta, i0, x, vals, grads, eps, acc, s_d, n_d):
+            def sweep(j, st):
+                x, vals, grads, eps, acc, s_d, n_d = st
+                i = i0 + j                             # global sweep index
+                kk = jax.random.fold_in(key, i)
+                x, a, vals, grads = tempered_hmc_kernel_batched(
+                    kk, x, vgq, vgp, beta, eps, n_leapfrog, vals, grads)
+                a_mean = a.mean()
+                d = vals[1] - vals[0]                  # [C] log_p - log_q0
+                keep = (i >= n_warmup).astype(d.dtype)
+                if adapt_step:
+                    # warmup-only log-space adaptation; frozen for kept
+                    # sweeps
+                    upd = jnp.exp(0.15 * (a_mean - target_accept)).astype(
+                        eps.dtype)
+                    eps = jnp.where(i < n_warmup, eps * upd, eps)
+                    acc = acc + keep * a_mean          # post-warmup only
+                else:
+                    acc = acc + a_mean
+                return (x, vals, grads, eps, acc, s_d + keep * d,
+                        n_d + keep)
+
+            return jax.lax.fori_loop(
+                0, seg_len, sweep, (x, vals, grads, eps, acc, s_d, n_d))
+
+        seg_fns[seg_len] = seg_fn
+        return seg_fn
 
     run = run_node or (lambda f, *a: f(*a))
     C = jax.tree_util.tree_leaves(x0)[0].shape[0]
+    chunk = n_steps if chunk_steps is None else max(1, int(chunk_steps))
     x = x0
-    means, ses, accs = [], [], []
+    means, ses, accs, epss = [], [], [], []
+    eps_carry = None
     for i, b in enumerate(betas):
-        eps = float(step_size * (1.0 - b) + eps_final * b)
-        x, acc, chain_means = run(
-            run_node_fn, jax.random.fold_in(key, i), x,
-            jnp.asarray(b, jnp.float32), jnp.asarray(eps, jnp.float32))
-        cm = np.asarray(chain_means, np.float64)
+        eps = (eps_carry if (adapt_step and eps_carry is not None)
+               else float(step_size * (1.0 - b) + eps_final * b))
+        key_i = jax.random.fold_in(key, i)
+        beta_t = jnp.asarray(b, jnp.float32)
+        vals, grads = run(init_caches, x)
+        zero = jnp.zeros_like(vals[0])
+        st = (x, vals, grads, jnp.asarray(eps, jnp.float32),
+              jnp.zeros(()), zero, jnp.zeros(()))
+        i0 = 0
+        while i0 < n_steps:
+            seg_len = min(chunk, n_steps - i0)
+            st = run(make_seg(seg_len), key_i, beta_t,
+                     jnp.asarray(i0, jnp.int32), *st)
+            i0 += seg_len
+        x, vals, grads, eps_used, acc, s_d, n_d = st
+        denom = (n_steps - n_warmup) if adapt_step else n_steps
+        eps_carry = float(eps_used)
+        cm = np.asarray(s_d / n_d, np.float64)         # [C] chain means
         means.append(cm.mean())
         ses.append(cm.std(ddof=1) / np.sqrt(C))
-        accs.append(float(acc))
+        accs.append(float(acc) / denom)
+        epss.append(eps_carry)
 
     means = jnp.asarray(np.asarray(means))
     ses = jnp.asarray(np.asarray(ses))
@@ -177,4 +237,5 @@ def thermodynamic_integration(
     quad_err = jnp.abs((w2 * means[idx]).sum() - log_Z)
     return TIResult(log_Z=log_Z, se=se, quad_err=quad_err, betas=bet,
                     node_mean=means, node_se=ses,
-                    accept=jnp.asarray(np.asarray(accs)), x=x)
+                    accept=jnp.asarray(np.asarray(accs)), x=x,
+                    step_size=jnp.asarray(np.asarray(epss)))

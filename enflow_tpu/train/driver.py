@@ -1740,8 +1740,12 @@ class Main:
         ``beta_min``, ``n_samples`` (sweeps per node, default 400),
         ``n_warmup`` (default 150), ``step_size`` (beta=0 end, default
         0.08), ``step_size_final`` (beta=1 end, default step_size/3),
-        ``n_leapfrog``. Per-node programs ride the driver's retry-once
-        runner (the chunking discipline of ``smc_segments``). Output npz:
+        ``n_leapfrog``; ``adapt_step``/``target_accept`` (warmup-only
+        step adaptation, frozen for kept sweeps); ``chunk_steps``
+        (bounded per-program sweep segments, bitwise == monolithic —
+        REQUIRED at LJ55-class node cost, where single 60-90 s node
+        programs fault the tunnel reliably). Every dispatch rides the
+        driver's retry-once runner. Output npz:
         final beta=1 chain states (unweighted target draws) + the node
         table (betas / integrand means / SEs / acceptances).
 
@@ -1764,6 +1768,10 @@ class Main:
             step_size_final=(None if sec.get("step_size_final") is None
                              else float(sec["step_size_final"])),
             n_leapfrog=int(sec.get("n_leapfrog", 5)),
+            adapt_step=bool(sec.get("adapt_step", False)),
+            target_accept=float(sec.get("target_accept", 0.65)),
+            chunk_steps=(None if sec.get("chunk_steps") is None
+                         else int(sec["chunk_steps"])),
             run_node=run, jit=self._jit)
         samples = res.x
         if self.num_processes > 1:

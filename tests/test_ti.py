@@ -76,7 +76,10 @@ def test_ti_batched_matches_vmapped():
                                np.asarray(r2.node_mean), atol=1e-8)
 
 
-def test_ti_run_node_hook_sees_every_node():
+def test_ti_run_node_hook_sees_every_dispatch():
+    """run_node wraps EVERY device dispatch (cache init + each sweep
+    segment) so a retry executor can guard the whole run: 6 nodes x
+    (1 init + 2 ten-sweep segments) = 18 calls."""
     log_q0, log_p, x0, _ = _gaussian_problem(C=8)
     calls = []
 
@@ -86,8 +89,9 @@ def test_ti_run_node_hook_sees_every_node():
 
     res = thermodynamic_integration(
         jax.random.PRNGKey(3), x0, log_q0=log_q0, log_p=log_p,
-        n_nodes=6, n_steps=20, n_warmup=5, run_node=run)
-    assert len(calls) == len(np.asarray(res.betas)) == 6
+        n_nodes=6, n_steps=20, n_warmup=5, chunk_steps=10, run_node=run)
+    assert len(np.asarray(res.betas)) == 6
+    assert len(calls) == 6 * 3
 
 
 def test_geometric_grid_shape():
@@ -157,3 +161,42 @@ def test_sample_mode_ti(tmp_path, capsys):
     with open(tmp_path / "ti.csv") as f:
         rows = f.read().strip().splitlines()
     assert len(rows) == 9  # header + one row per node
+
+
+def test_ti_adapt_step_recovers_from_bad_step():
+    """adapt_step=True: a hopeless initial step size (2.5 on a unit-scale
+    Gaussian) is rescued by the warmup-only adaptation; the kept sweeps run
+    at the frozen adapted value and the analytic answer still comes out."""
+    log_q0, log_p, x0, analytic = _gaussian_problem()
+    res = thermodynamic_integration(
+        jax.random.PRNGKey(4), x0, log_q0=log_q0, log_p=log_p,
+        n_nodes=12, n_steps=200, n_warmup=80,
+        step_size=2.5, adapt_step=True, target_accept=0.7, n_leapfrog=4)
+    acc = np.asarray(res.accept)
+    assert (acc > 0.45).all() and (acc < 0.95).all()
+    eps = np.asarray(res.step_size)
+    assert (eps < 2.2).all()           # adapted below the hopeless init
+    assert abs(float(res.log_Z) - analytic) < 0.4
+
+
+def test_ti_chunked_matches_monolithic():
+    """chunk_steps segments are bitwise-identical to the monolithic node
+    program (same fori_loop math dispatched in pieces) — the smc_segments
+    discipline, required at LJ55-class node cost where 60-90 s single
+    programs fault the TPU tunnel reliably."""
+    log_q0, log_p, x0, _ = _gaussian_problem(C=16)
+    kw = dict(n_nodes=5, n_steps=30, n_warmup=10, step_size=0.4,
+              n_leapfrog=3, adapt_step=True)
+    r_mono = thermodynamic_integration(jax.random.PRNGKey(6), x0,
+                                       log_q0=log_q0, log_p=log_p, **kw)
+    r_chunk = thermodynamic_integration(jax.random.PRNGKey(6), x0,
+                                        log_q0=log_q0, log_p=log_p,
+                                        chunk_steps=7, **kw)
+    assert float(r_mono.log_Z) == float(r_chunk.log_Z)
+    assert np.asarray(r_mono.node_mean).tolist() == \
+        np.asarray(r_chunk.node_mean).tolist()
+    assert np.asarray(r_mono.step_size).tolist() == \
+        np.asarray(r_chunk.step_size).tolist()
+    for k in r_mono.x:
+        assert np.asarray(r_mono.x[k]).tolist() == \
+            np.asarray(r_chunk.x[k]).tolist()
