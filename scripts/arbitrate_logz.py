@@ -17,9 +17,11 @@ Flow source (one required):
                   Q*_VI_CACHE knobs (p0..pK arrays)
     ALZ_CKPT      driver checkpoint (.cpt) from vi training
 Target/flow knobs (must match how the flow was trained):
+    ALZ_TARGET=lj_cluster | lj_fluid (periodic; drift flows)
     ALZ_N=13  ALZ_KBT=2.0  ALZ_COSC=0.5  ALZ_ECAP=0 (0 = no cap)
+    ALZ_BOX=6.5  ALZ_CUTOFF=3.0  (lj_fluid only; ECAP defaults to 500)
     ALZ_DT=0.05  ALZ_STEPS=5  ALZ_HIDDEN=128  ALZ_NF=5
-    ALZ_POS_UPDATE=coupled
+    ALZ_POS_UPDATE=coupled (use drift for periodic fluids)
 Panel knobs:
     ALZ_P=1024 (particles)  ALZ_REPS=4  ALZ_TEMPS=40  ALZ_SWEEPS=3
     ALZ_TI_NODES=25  ALZ_TI_STEPS=400  ALZ_TI_CHAINS=256
@@ -46,9 +48,11 @@ from enflow_tpu.sample import ais, smc, targets
 from enflow_tpu.sample.ti import thermodynamic_integration
 
 E = os.environ.get
+TARGET = E("ALZ_TARGET", "lj_cluster")
 N = int(E("ALZ_N", "13"))
 KBT, COSC = float(E("ALZ_KBT", "2.0")), float(E("ALZ_COSC", "0.5"))
-ECAP = float(E("ALZ_ECAP", "0"))
+ECAP = float(E("ALZ_ECAP", "500" if TARGET == "lj_fluid" else "0"))
+BOX, CUTOFF = float(E("ALZ_BOX", "6.5")), float(E("ALZ_CUTOFF", "3.0"))
 DT, STEPS = float(E("ALZ_DT", "0.05")), int(E("ALZ_STEPS", "5"))
 HIDDEN, NF = int(E("ALZ_HIDDEN", "128")), int(E("ALZ_NF", "5"))
 POS_UPDATE = E("ALZ_POS_UPDATE", "coupled")
@@ -80,11 +84,18 @@ def build():
     else:
         raise SystemExit("set ALZ_VI_CACHE or ALZ_CKPT (a trained flow is "
                          "the whole point of the panel)")
-    target = targets.lj_cluster(N, kBT=KBT, c_osc=COSC, softening=0.0,
-                                **({"e_cap": ECAP} if ECAP else {}))
+    if TARGET == "lj_fluid":
+        target = targets.lj_fluid(N, box=BOX, kBT=KBT, softening=0.0,
+                                  cutoff=CUTOFF,
+                                  **({"e_cap": ECAP} if ECAP else {}))
+        box_f, rc_f = BOX, CUTOFF
+    else:
+        target = targets.lj_cluster(N, kBT=KBT, c_osc=COSC, softening=0.0,
+                                    **({"e_cap": ECAP} if ECAP else {}))
+        box_f, rc_f = 1e3, 1e2
     mask = jnp.ones((1, N), bool)
-    box = jnp.full((1, 3), 1e3, jnp.float32)
-    rc = jnp.full((1,), 1e2, jnp.float32)
+    box = jnp.full((1, 3), box_f, jnp.float32)
+    rc = jnp.full((1,), rc_f, jnp.float32)
 
     def to_sys(x):
         return System(h=x["h"][None], g=x["g"][None], pos=x["pos"][None],
@@ -178,7 +189,8 @@ def main():
             float(res.quad_err), 3)
 
     out["wall_s"] = round(time.time() - t0, 1)
-    out["config"] = {"N": N, "kBT": KBT, "P": P, "reps": REPS,
+    out["config"] = {"target": TARGET, "N": N, "kBT": KBT, "P": P,
+                     "reps": REPS,
                      "temps": TEMPS, "sweeps": SWEEPS,
                      "pos_update": POS_UPDATE,
                      "flow": E("ALZ_VI_CACHE") or E("ALZ_CKPT")}

@@ -49,6 +49,10 @@ N_ATOMS, NODE_NF, HIDDEN = 32, 5, 64
 BOX, KBT, CUTOFF, E_CAP = 6.5, 1.0, 3.0, 500.0   # rho* = 32/6.5^3 ~ 0.117
 POS_UPDATE = os.environ.get("QFLUID_POS_UPDATE", "drift")
 VI_STEPS = int(os.environ.get("QFLUID_VI_STEPS", 4000))
+# optional cross-invocation cache of the trained VI params (as in the
+# lj13/lj55 gates): lets estimator studies (scripts/arbitrate_logz.py
+# with ALZ_TARGET=lj_fluid) reuse the gate's flow
+VI_CACHE = os.environ.get("QFLUID_VI_CACHE", "")
 VI_ANNEAL, VI_P = 1500, 256
 HMC_CHAINS, HMC_SAMPLES, HMC_WARMUP = 64, 1000, 300
 SMC_P, SMC_MAX_TEMPS, SMC_SWEEPS, SMC_REPS = 1024, 32, 3, 4
@@ -108,7 +112,15 @@ def main():
         upd, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, loss
 
-    for i in range(VI_STEPS):
+    if VI_CACHE and os.path.exists(VI_CACHE):
+        with np.load(VI_CACHE) as z:
+            flat, tree = jax.tree_util.tree_flatten(params)
+            params = jax.tree_util.tree_unflatten(
+                tree, [jnp.asarray(z[f"p{i}"]) for i in range(len(flat))])
+        vi_range = range(0)
+    else:
+        vi_range = range(VI_STEPS)
+    for i in vi_range:
         soft = 0.2 * max(0.0, 1.0 - i / VI_ANNEAL)
         params, opt_state, loss = vi_step(
             params, opt_state, jax.random.PRNGKey(10 + i),
@@ -117,6 +129,10 @@ def main():
             print(f"# VI step {i}: loss {float(loss):.1f} "
                   f"(t={time.time() - t0:.0f}s)", file=sys.stderr,
                   flush=True)
+    if len(vi_range) and VI_CACHE:
+        flat, _ = jax.tree_util.tree_flatten(params)
+        np.savez(VI_CACHE, **{f"p{i}": np.asarray(l)
+                              for i, l in enumerate(flat)})
     t_vi = time.time() - t0
 
     # ---- 2. replicated drift-flow SMC ------------------------------------
