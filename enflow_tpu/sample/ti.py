@@ -157,6 +157,14 @@ def thermodynamic_integration(
         vp, gp = vgp(x)
         return (vq, vp), (gq, gp)
 
+    @jit
+    def node_stats(s_d, n_d):
+        # reduce on-device so the [C] chain axis never has to be
+        # addressable on one host (multi-process chain-sharded runs:
+        # the outputs are replicated scalars, safe to float())
+        cm = s_d / n_d
+        return cm.mean(), jnp.std(cm, ddof=1) / jnp.sqrt(1.0 * cm.shape[0])
+
     seg_fns = {}
 
     def make_seg(seg_len):
@@ -195,7 +203,6 @@ def thermodynamic_integration(
         return seg_fn
 
     run = run_node or (lambda f, *a: f(*a))
-    C = jax.tree_util.tree_leaves(x0)[0].shape[0]
     chunk = n_steps if chunk_steps is None else max(1, int(chunk_steps))
     x = x0
     means, ses, accs, epss = [], [], [], []
@@ -218,9 +225,9 @@ def thermodynamic_integration(
         x, vals, grads, eps_used, acc, s_d, n_d = st
         denom = (n_steps - n_warmup) if adapt_step else n_steps
         eps_carry = float(eps_used)
-        cm = np.asarray(s_d / n_d, np.float64)         # [C] chain means
-        means.append(cm.mean())
-        ses.append(cm.std(ddof=1) / np.sqrt(C))
+        m, s = run(node_stats, s_d, n_d)
+        means.append(float(m))
+        ses.append(float(s))
         accs.append(float(acc) / denom)
         epss.append(eps_carry)
 

@@ -25,6 +25,8 @@ Target/flow knobs (must match how the flow was trained):
 Panel knobs:
     ALZ_P=1024 (particles)  ALZ_REPS=4  ALZ_TEMPS=40  ALZ_SWEEPS=3
     ALZ_TI_NODES=25  ALZ_TI_STEPS=400  ALZ_TI_CHAINS=256
+    ALZ_TI_CHUNK=100 (bounded per-program segments — whole-node programs
+                      at large N are the 60-90 s tunnel-fault regime)
     ALZ_SKIP=ti,ais (comma list: is | ais | smc | asmc | ti)
 
 Replicate-scatter SEs throughout (within-run ESS SEs understate after
@@ -61,6 +63,7 @@ TEMPS, SWEEPS = int(E("ALZ_TEMPS", "40")), int(E("ALZ_SWEEPS", "3"))
 TI_NODES = int(E("ALZ_TI_NODES", "25"))
 TI_STEPS = int(E("ALZ_TI_STEPS", "400"))
 TI_CHAINS = int(E("ALZ_TI_CHAINS", "256"))
+TI_CHUNK = int(E("ALZ_TI_CHUNK", "100"))
 SKIP = set(s for s in E("ALZ_SKIP", "").split(",") if s)
 
 
@@ -182,7 +185,8 @@ def main():
                                              TI_CHAINS),
             log_q0=log_q0, log_p=log_p, n_nodes=TI_NODES,
             n_steps=TI_STEPS, n_warmup=TI_STEPS // 3,
-            step_size=0.08, step_size_final=0.025)
+            step_size=0.08, step_size_final=0.025,
+            adapt_step=True, chunk_steps=TI_CHUNK)
         report("thermodynamic integration", float(res.log_Z),
                float(jnp.sqrt(res.se ** 2 + res.quad_err ** 2)))
         out["thermodynamic integration"]["quad_err"] = round(

@@ -493,3 +493,53 @@ def test_two_process_atom_sharded_remc_mbar(tmp_path):
         # program — samples and the MBAR solve agree with single-process
         np.testing.assert_allclose(np.array(z["pos"]), ref_pos, atol=1e-5)
         assert abs(float(z["mbar_log_Z"]) - ref_log_Z) < 1e-3
+
+
+TI_SAMPLE_YAML = """\
+mode: sample
+units: {time: pico, dist: ang}
+precision: float32
+seed: 8
+dynamics:
+  integrator: lf
+  n_iter: 2
+  dt: 0.05
+  checkpoint_path: ""
+  nbr_mode: all_pairs
+  network: {hidden_nf: 8, node_nf: 3}
+sampling:
+  algo: ti
+  n_particles: 16
+  ti_nodes: 4
+  n_samples: 10
+  n_warmup: 4
+  step_size: 0.05
+  n_leapfrog: 2
+  chunk_steps: 6
+  output: samples_ti.npz
+  metrics_csv: ti_nodes.csv
+  target: {type: lj_cluster, n_atoms: 13, kBT: 2.0, c_osc: 0.5}
+"""
+
+
+def test_two_process_ti_e2e(tmp_path):
+    """2-process thermodynamic integration: chains shard over the 2-device
+    mesh, per-node integrand stats reduce ON DEVICE to replicated scalars
+    (np.asarray on the sharded [C] chain axis would raise non-addressable —
+    the bug this test pins), and rank 0 writes the gathered beta=1 chains
+    + node table."""
+    (tmp_path / "ti.yaml").write_text(TI_SAMPLE_YAML)
+    (tmp_path / "worker.py").write_text(textwrap.dedent(WORKER))
+    env = dict(os.environ)
+    env["NUM_PROCESSES"] = "2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["COORDINATOR_ADDRESS"] = f"localhost:{_free_port()}"
+    outs = _spawn_pair(tmp_path, env, "ti.yaml")
+    assert "TI over 4 nodes x 16 chains" in outs[0]
+    assert "TI over" not in outs[1]
+    with np.load(tmp_path / "samples_ti.npz") as z:
+        assert z["pos"].shape == (16, 13, 3)
+        assert np.isfinite(float(z["log_Z"]))
+        assert z["betas"].shape == (4,)
+        assert np.isfinite(z["node_mean"]).all()

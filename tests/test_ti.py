@@ -78,8 +78,9 @@ def test_ti_batched_matches_vmapped():
 
 def test_ti_run_node_hook_sees_every_dispatch():
     """run_node wraps EVERY device dispatch (cache init + each sweep
-    segment) so a retry executor can guard the whole run: 6 nodes x
-    (1 init + 2 ten-sweep segments) = 18 calls."""
+    segment + the node-stats reduction) so a retry executor can guard the
+    whole run: 6 nodes x (1 init + 2 ten-sweep segments + 1 stats) = 24
+    calls."""
     log_q0, log_p, x0, _ = _gaussian_problem(C=8)
     calls = []
 
@@ -91,7 +92,7 @@ def test_ti_run_node_hook_sees_every_dispatch():
         jax.random.PRNGKey(3), x0, log_q0=log_q0, log_p=log_p,
         n_nodes=6, n_steps=20, n_warmup=5, chunk_steps=10, run_node=run)
     assert len(np.asarray(res.betas)) == 6
-    assert len(calls) == 6 * 3
+    assert len(calls) == 6 * 4
 
 
 def test_geometric_grid_shape():
