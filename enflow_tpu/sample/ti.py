@@ -20,6 +20,23 @@ estimated here by grid halving) and per-node burn-in bias (controlled by
 No reference equivalent (the reference has no samplers at all); this is
 framework-native capability alongside ``smc``/``ais``/``remc``+``mbar``.
 
+Validity diagnostics (read them — TI fails LOUDLY, unlike MBAR): TI is
+only as good as per-node mixing, and the geometric bridge
+``q0^(1-beta) p^beta`` inherits the FLOW's conditioning at every node
+through the ``(1-beta)`` term. On the N=32 fluid drift flow (a weak,
+very stiff pushforward) the beta=0 node rejects ~100% of proposals at
+any workable step size — per-chain adaptation and ensemble-mass
+preconditioning both measured unable to rescue it — so the chains
+freeze and every node reports the initial mean log-weight: a flat
+``node_mean`` table at ~mean(log w) and a log_Z hundreds of nats below
+the same-flow SMC lower bound (measured: -543 vs LB -16, RESULTS.md
+r5). The tells, all surfaced in ``TIResult`` and warned about at
+runtime: ``accept[0]`` near 0 (frozen q0 end), a node table flat at the
+IS mean log-weight, and a TI value below a same-flow SMC/AIS bound.
+Where the flow is strong (LJ13/LJ55 coupled flows) the same estimator
+agrees with the SMC bound to ~0.01 nats; where it is weak, trust the
+SMC bound and treat TI's failure as a flow-conditioning report.
+
 TPU notes: one jitted node program (beta / step size are traced scalars
 — a single compile serves every node), internally a ``fori_loop`` of
 ``tempered_hmc_kernel_batched`` sweeps with the same component-gradient
@@ -38,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mcmc import batched_value_and_grad, tempered_hmc_kernel_batched
+from .smc import _ensemble_mass
 
 
 class TIResult(NamedTuple):
@@ -80,8 +98,8 @@ def thermodynamic_integration(
         n_steps: int = 400, n_warmup: int = 150,
         step_size: float = 0.08, step_size_final: float | None = None,
         n_leapfrog: int = 5, adapt_step: bool = False,
-        target_accept: float = 0.65, batched: bool = False,
-        chunk_steps: int | None = None,
+        target_accept: float = 0.65, precondition: bool = False,
+        batched: bool = False, chunk_steps: int | None = None,
         run_node=None, jit=jax.jit) -> TIResult:
     """Estimate ``log(Z_p / Z_q0)`` by thermodynamic integration.
 
@@ -101,14 +119,29 @@ def thermodynamic_integration(
         ``step_size / 3``) at 1 — the tempered target sharpens as the
         physical term takes over.
       adapt_step: adapt the step size toward ``target_accept`` during each
-        node's WARMUP sweeps only (multiplicative log-space updates from
-        the sweep's mean acceptance), frozen before any kept sweep — the
-        kept chain is a fixed valid kernel, so the estimator is unbiased
-        exactly as without adaptation. The adapted value warm-starts the
-        next node (the interpolation schedule becomes the first node's
-        initial guess). Use for targets whose bridge scale is unknown
-        (e.g. LJ55-class flows); reported ``accept`` becomes
-        post-warmup-only.
+        node's WARMUP sweeps only (multiplicative log-space updates),
+        frozen before any kept sweep — the kept chain is a fixed valid
+        kernel, so the estimator is unbiased exactly as without
+        adaptation. Adaptation is PER CHAIN (a ``[C]`` step vector, using
+        the kernel's per-particle step support): with a single global
+        step, a few chains stranded in a pathological region (e.g. a
+        zero-gradient e_cap plateau with huge flow-density curvature)
+        drive the mean acceptance to ~0, the shared step collapses, and
+        every chain freezes at its initial draw — measured on the N=32
+        fluid drift flow, where the frozen ensemble reported a flat node
+        table at the initial mean log-weight and a nonsense log_Z 500
+        nats below the same-flow SMC lower bound. Per-chain adaptation
+        confines the freeze to the chains that are actually stuck. The
+        adapted vector warm-starts the next node (the interpolation
+        schedule seeds the first node). Reported ``accept`` becomes
+        post-warmup-only and ``step_size`` the per-node chain-mean.
+      precondition: diagonal mass-matrix preconditioning — per-coordinate
+        momentum scales from the chain-ensemble std at each node's start,
+        frozen within the node (a fixed valid kernel; the same
+        ``_ensemble_mass`` smc/ais use per temperature). Necessary for
+        stiff anisotropic flow densities: the N=32 fluid drift flow
+        rejects ~100% of unit-mass proposals at ANY workable step size,
+        which collapses the adaptation and freezes the bridge.
       chunk_steps: split each node's sweeps into bounded per-program
         segments of at most this many sweeps, state carried on-device
         between dispatches — BITWISE identical to the monolithic node
@@ -158,12 +191,13 @@ def thermodynamic_integration(
         return (vq, vp), (gq, gp)
 
     @jit
-    def node_stats(s_d, n_d):
+    def node_stats(s_d, n_d, eps):
         # reduce on-device so the [C] chain axis never has to be
         # addressable on one host (multi-process chain-sharded runs:
         # the outputs are replicated scalars, safe to float())
         cm = s_d / n_d
-        return cm.mean(), jnp.std(cm, ddof=1) / jnp.sqrt(1.0 * cm.shape[0])
+        return (cm.mean(), jnp.std(cm, ddof=1) / jnp.sqrt(1.0 * cm.shape[0]),
+                jnp.mean(eps))
 
     seg_fns = {}
 
@@ -174,21 +208,24 @@ def thermodynamic_integration(
             return seg_fns[seg_len]
 
         @jit
-        def seg_fn(key, beta, i0, x, vals, grads, eps, acc, s_d, n_d):
+        def seg_fn(key, beta, i0, mass, x, vals, grads, eps, acc, s_d,
+                   n_d):
             def sweep(j, st):
                 x, vals, grads, eps, acc, s_d, n_d = st
                 i = i0 + j                             # global sweep index
                 kk = jax.random.fold_in(key, i)
                 x, a, vals, grads = tempered_hmc_kernel_batched(
-                    kk, x, vgq, vgp, beta, eps, n_leapfrog, vals, grads)
+                    kk, x, vgq, vgp, beta, eps, n_leapfrog, vals, grads,
+                    mass=mass)
                 a_mean = a.mean()
                 d = vals[1] - vals[0]                  # [C] log_p - log_q0
                 keep = (i >= n_warmup).astype(d.dtype)
                 if adapt_step:
-                    # warmup-only log-space adaptation; frozen for kept
-                    # sweeps
-                    upd = jnp.exp(0.15 * (a_mean - target_accept)).astype(
-                        eps.dtype)
+                    # warmup-only PER-CHAIN log-space adaptation; frozen
+                    # for kept sweeps (see Args: a global step collapses
+                    # when a few chains are stuck)
+                    upd = jnp.exp(0.15 * (a.astype(eps.dtype)
+                                          - target_accept))
                     eps = jnp.where(i < n_warmup, eps * upd, eps)
                     acc = acc + keep * a_mean          # post-warmup only
                 else:
@@ -203,34 +240,50 @@ def thermodynamic_integration(
         return seg_fn
 
     run = run_node or (lambda f, *a: f(*a))
+    mass_fn = jit(_ensemble_mass)
     chunk = n_steps if chunk_steps is None else max(1, int(chunk_steps))
+    C = jax.tree_util.tree_leaves(x0)[0].shape[0]
     x = x0
     means, ses, accs, epss = [], [], [], []
     eps_carry = None
     for i, b in enumerate(betas):
-        eps = (eps_carry if (adapt_step and eps_carry is not None)
-               else float(step_size * (1.0 - b) + eps_final * b))
+        sched = float(step_size * (1.0 - b) + eps_final * b)
+        if adapt_step:
+            eps = (eps_carry if eps_carry is not None
+                   else jnp.full((C,), sched, jnp.float32))
+        else:
+            eps = jnp.asarray(sched, jnp.float32)
         key_i = jax.random.fold_in(key, i)
         beta_t = jnp.asarray(b, jnp.float32)
         vals, grads = run(init_caches, x)
+        mass = run(mass_fn, x) if precondition else None
         zero = jnp.zeros_like(vals[0])
-        st = (x, vals, grads, jnp.asarray(eps, jnp.float32),
-              jnp.zeros(()), zero, jnp.zeros(()))
+        st = (x, vals, grads, eps, jnp.zeros(()), zero, jnp.zeros(()))
         i0 = 0
         while i0 < n_steps:
             seg_len = min(chunk, n_steps - i0)
             st = run(make_seg(seg_len), key_i, beta_t,
-                     jnp.asarray(i0, jnp.int32), *st)
+                     jnp.asarray(i0, jnp.int32), mass, *st)
             i0 += seg_len
         x, vals, grads, eps_used, acc, s_d, n_d = st
         denom = (n_steps - n_warmup) if adapt_step else n_steps
-        eps_carry = float(eps_used)
-        m, s = run(node_stats, s_d, n_d)
+        eps_carry = eps_used
+        m, s, e_mean = run(node_stats, s_d, n_d, eps_used)
         means.append(float(m))
         ses.append(float(s))
         accs.append(float(acc) / denom)
-        epss.append(eps_carry)
+        epss.append(float(e_mean))
 
+    if accs[0] < 0.1:
+        import warnings
+        warnings.warn(
+            "TI bridge mixing failure: the beta=0 node accepted "
+            f"{accs[0]:.0%} of HMC proposals — the proposal-end chains are "
+            "frozen and every node mean collapses to the initial mean "
+            "log-weight, so the returned log_Z is NOT a valid estimate "
+            "(see sample/ti.py 'Validity diagnostics'). The flow density "
+            "is too stiff for the geometric bridge; report a flow-SMC/AIS "
+            "lower bound instead.", stacklevel=2)
     means = jnp.asarray(np.asarray(means))
     ses = jnp.asarray(np.asarray(ses))
     bet = jnp.asarray(betas)

@@ -1770,6 +1770,7 @@ class Main:
             n_leapfrog=int(sec.get("n_leapfrog", 5)),
             adapt_step=bool(sec.get("adapt_step", False)),
             target_accept=float(sec.get("target_accept", 0.65)),
+            precondition=bool(sec.get("precondition", False)),
             chunk_steps=(None if sec.get("chunk_steps") is None
                          else int(sec["chunk_steps"])),
             run_node=run, jit=self._jit)

@@ -186,11 +186,21 @@ def main():
             log_q0=log_q0, log_p=log_p, n_nodes=TI_NODES,
             n_steps=TI_STEPS, n_warmup=TI_STEPS // 3,
             step_size=0.08, step_size_final=0.025,
-            adapt_step=True, chunk_steps=TI_CHUNK)
+            adapt_step=True, precondition=True, chunk_steps=TI_CHUNK)
+        print("# TI betas:", np.asarray(res.betas).round(4).tolist(),
+              file=sys.stderr)
+        print("# TI node means:",
+              np.asarray(res.node_mean).round(2).tolist(), file=sys.stderr)
+        print("# TI accept:", np.asarray(res.accept).round(2).tolist(),
+              file=sys.stderr)
         report("thermodynamic integration", float(res.log_Z),
                float(jnp.sqrt(res.se ** 2 + res.quad_err ** 2)))
         out["thermodynamic integration"]["quad_err"] = round(
             float(res.quad_err), 3)
+        out["thermodynamic integration"]["node_mean"] = \
+            np.asarray(res.node_mean).round(3).tolist()
+        out["thermodynamic integration"]["accept"] = \
+            np.asarray(res.accept).round(3).tolist()
 
     out["wall_s"] = round(time.time() - t0, 1)
     out["config"] = {"target": TARGET, "N": N, "kBT": KBT, "P": P,

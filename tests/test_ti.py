@@ -201,3 +201,50 @@ def test_ti_chunked_matches_monolithic():
     for k in r_mono.x:
         assert np.asarray(r_mono.x[k]).tolist() == \
             np.asarray(r_chunk.x[k]).tolist()
+
+
+def test_ti_precondition_rescues_anisotropic_bridge():
+    """precondition=True (per-node ensemble-std mass) on a badly
+    anisotropic Gaussian (stds spanning 100x): unit-mass HMC at any single
+    step size either stalls the wide coordinates or rejects on the narrow
+    ones; the preconditioned kernel recovers the analytic log_Z."""
+    scales = np.array([0.02, 0.02, 1.0, 1.0, 2.0])
+    d = 5
+
+    def log_q0(x):
+        v = x["a"]
+        return (-0.5 * ((v / scales) ** 2).sum()
+                - 0.5 * d * LOG_2PI - np.log(scales).sum())
+
+    def log_p(x):  # wider anisotropic target, unnormalized
+        return -0.5 * ((x["a"] / (2.0 * scales)) ** 2).sum()
+
+    x0 = {"a": jax.random.normal(jax.random.PRNGKey(0), (64, d)) * scales}
+    # log Z_p = sum_i 0.5 log(2 pi (2 s_i)^2)
+    analytic = sum(0.5 * np.log(2.0 * np.pi * (2.0 * s) ** 2)
+                   for s in scales)
+    res = thermodynamic_integration(
+        jax.random.PRNGKey(8), x0, log_q0=log_q0, log_p=log_p,
+        n_nodes=10, n_steps=150, n_warmup=60, step_size=0.5,
+        adapt_step=True, precondition=True, n_leapfrog=4)
+    assert (np.asarray(res.accept) > 0.4).all()
+    assert abs(float(res.log_Z) - analytic) < 0.4
+
+
+def test_ti_warns_on_frozen_proposal_end():
+    """A flow density too stiff for the bridge (here: a violent sawtooth
+    rejecting every unit-scale proposal) must trigger the loud
+    mixing-failure warning — the fluid-drift-flow failure mode, which
+    silently returns ~mean(log w) instead of log_Z (RESULTS.md r5)."""
+    def log_q0(x):
+        v = x["a"]
+        return -0.5 * (v ** 2).sum() - 100.0 * jnp.cos(300.0 * v).sum()
+
+    def log_p(x):
+        return -0.5 * (x["a"] ** 2).sum()
+
+    x0 = {"a": jax.random.normal(jax.random.PRNGKey(0), (16, 4))}
+    with pytest.warns(UserWarning, match="TI bridge mixing failure"):
+        thermodynamic_integration(
+            jax.random.PRNGKey(1), x0, log_q0=log_q0, log_p=log_p,
+            n_nodes=3, n_steps=8, n_warmup=2, step_size=0.5, n_leapfrog=2)
